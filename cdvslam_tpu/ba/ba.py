@@ -1,0 +1,285 @@
+"""Bundle adjustment as batched XLA linear algebra (L2).
+
+One differentiable implementation replaces BOTH of the reference's BA
+paths -- the fused CUDA Gauss-Newton solver used at inference
+(reference: cdvslam/fastba/ba_cuda.cu:232-611) and the pure-PyTorch
+differentiable BA used inside the training rollout
+(reference: cdvslam/ba.py:86-185). The math is identical between those
+two up to clamps/damping, which are exposed here as parameters.
+
+Design (TPU-first): no ragged scatter -- the Hessian blocks B (pose-pose),
+E (pose-depth), C (depth diag) and gradients v,u are assembled with
+deterministic ``segment_sum`` over fixed-size padded edge arrays; the
+Schur complement S = B - E Q E^T is a dense (6N x 6N) matmul on the MXU;
+the solve is a Cholesky factorization of a tiny damped SPD system.
+
+Shapes (all static under jit):
+  poses      (NP, 7)   full pose buffer (only window [t0, t1) is updated)
+  patches    (K, 3, P, P) patch window (channel 2 = inverse depth)
+  target     (E, 2), weight (E, 2)
+  ii, jj     (E,) frame indices; kk (E,) patch index *within the window*
+  mask       (E,) valid-edge mask (padding edges contribute nothing)
+  t0         dynamic scalar: first optimized pose; poses < t0 are fixed
+  N          static: size of the optimized pose window (ix = ii - t0)
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..lie import se3_retr
+
+
+class BAParams(NamedTuple):
+    """Numeric knobs. Defaults = inference CUDA solver."""
+    lmbda: float = 1e-4          # depth damping, Q = 1/(C + lmbda)
+    ep: float = 1.0              # diagonal damping S += I*(lm*S + ep)
+    lm: float = 1e-4
+    res_thresh: float = 128.0    # residual magnitude gate (pixels)
+    z_min: float = 0.2           # min depth for a valid residual
+    bounds_margin: float = 64.0  # projection must lie in [-m, 2c+m]
+    depth_clamp_mode: str = "inference"  # 'inference' | 'training'
+
+
+INFERENCE_PARAMS = BAParams()
+# training rollout numerics (reference ba.py:98-104,172,179)
+TRAINING_PARAMS = BAParams(ep=10.0, res_thresh=250.0, depth_clamp_mode="training")
+
+
+def _edge_terms(poses, patches, intrinsics, target, ii, jj, kk, z_min):
+    """Per-edge residuals r, Jacobians (Ji, Jj, Jz) and geometric validity.
+
+    Exactly the math of reprojection_residuals_and_hessian
+    (ba_cuda.cu:265-342): center-pixel homogeneous reprojection with
+    inlined SE3 ops, Jacobians w.r.t. the *left retraction* of poses i/j
+    and the patch inverse depth.
+    """
+    from ..lie.quaternion import qconj, qmul, qrot
+
+    fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
+
+    gi = jnp.take(poses, ii, axis=0)          # (E,7)
+    gj = jnp.take(poses, jj, axis=0)
+    ti, qi = gi[:, :3], gi[:, 3:7]
+    tj, qj = gj[:, :3], gj[:, 3:7]
+
+    # relative pose G_ij = G_j * G_i^-1 (ba_cuda.cu:74-85)
+    qij = qmul(qj, qconj(qi))
+    tij = tj - qrot(qij, ti)
+
+    P = patches.shape[-1]
+    pc = jnp.take(patches[:, :, P // 2, P // 2], kk, axis=0)  # (E,3) center x,y,d
+    xn = (pc[:, 0] - cx) / fx
+    yn = (pc[:, 1] - cy) / fy
+    d0 = pc[:, 2]
+
+    Xi = jnp.stack([xn, yn, jnp.ones_like(xn)], axis=-1)
+    Xj3 = qrot(qij, Xi) + d0[:, None] * tij   # homogeneous transform, W = d0
+    X, Y, Z = Xj3[:, 0], Xj3[:, 1], Xj3[:, 2]
+    W = d0
+
+    Z_safe = jnp.where(jnp.abs(Z) > 1e-8, Z, 1e-8)
+    d = jnp.where(Z >= z_min, 1.0 / Z_safe, 0.0)
+    d2 = d * d
+
+    x1 = fx * (X / Z_safe) + cx
+    y1 = fy * (Y / Z_safe) + cy
+
+    rx = target[:, 0] - x1
+    ry = target[:, 1] - y1
+
+    o = jnp.zeros_like(X)
+    # row 0 (x): ba_cuda.cu:320-328;  row 1 (y): :333-341
+    Jj_x = jnp.stack([fx * W * d, o, -fx * X * W * d2,
+                      -fx * X * Y * d2, fx * (1.0 + X * X * d2), -fx * Y * d], -1)
+    Jj_y = jnp.stack([o, fy * W * d, -fy * Y * W * d2,
+                      -fy * (1.0 + Y * Y * d2), fy * X * Y * d2, fy * X * d], -1)
+    Jz_x = fx * (tij[:, 0] * d - tij[:, 2] * X * d2)
+    Jz_y = fy * (tij[:, 1] * d - tij[:, 2] * Y * d2)
+
+    Jj = jnp.stack([Jj_x, Jj_y], axis=1)             # (E,2,6)
+    Jz = jnp.stack([Jz_x, Jz_y], axis=1)             # (E,2)
+    r = jnp.stack([rx, ry], axis=1)                  # (E,2)
+
+    # Ji = AdjT(Gij) applied to Jj rows (ba_cuda.cu:353, adjSE3)
+    from ..lie import se3_adjT
+    gij = jnp.concatenate([tij, qij], axis=-1)
+    Ji = se3_adjT(gij[:, None, :], Jj)               # (E,2,6)
+
+    return r, Ji, Jj, Jz, (x1, y1, Z)
+
+
+def _validity(r, x1, y1, Z, cx, cy, params: BAParams, bounds):
+    if bounds is None:
+        # inference gate (ba_cuda.cu:305-306)
+        rn = jnp.sqrt(jnp.sum(r * r, axis=-1))
+        inb = (
+            (rn < params.res_thresh)
+            & (Z > params.z_min)
+            & (x1 > -params.bounds_margin)
+            & (y1 > -params.bounds_margin)
+            & (x1 < 2 * cx + params.bounds_margin)
+            & (y1 < 2 * cy + params.bounds_margin)
+        )
+    else:
+        # training gate (reference ba.py:98-106): valid depth + res<thresh + bounds
+        rn = jnp.linalg.norm(r, axis=-1)
+        inb = (
+            (Z > params.z_min)
+            & (rn < params.res_thresh)
+            & (x1 > bounds[0]) & (y1 > bounds[1]) & (x1 < bounds[2]) & (y1 < bounds[3])
+        )
+    return inb
+
+
+@partial(jax.jit, static_argnames=("N", "K", "iterations", "params", "structure_only", "use_bounds"))
+def ba_solve(
+    poses: jnp.ndarray,        # (NP, 7)
+    patches: jnp.ndarray,      # (K, 3, P, P) window of patches
+    intrinsics: jnp.ndarray,   # (4,)
+    target: jnp.ndarray,       # (E, 2)
+    weight: jnp.ndarray,       # (E, 2)
+    ii: jnp.ndarray,           # (E,) int32
+    jj: jnp.ndarray,           # (E,)
+    kk: jnp.ndarray,           # (E,) int32, index into the K patch window
+    mask: jnp.ndarray,         # (E,) bool
+    t0,                        # dynamic scalar
+    *,
+    N: int,                    # static pose-window capacity
+    K: int,                    # static patch count (== patches.shape[0])
+    iterations: int = 2,
+    params: BAParams = INFERENCE_PARAMS,
+    structure_only: bool = False,
+    use_bounds: bool = False,
+    bounds=None,               # (4,) array if use_bounds
+):
+    """Damped Gauss-Newton over window poses + patch inverse depths.
+
+    Returns (poses, patches) with the window updated in place.
+    """
+    cx, cy = intrinsics[2], intrinsics[3]
+    dtype = poses.dtype
+    E = ii.shape[0]
+
+    def one_iteration(carry, _):
+        poses, patches = carry
+
+        r, Ji, Jj, Jz, (x1, y1, Z) = _edge_terms(
+            poses, patches, intrinsics, target, ii, jj, kk, params.z_min
+        )
+        inb = _validity(r, x1, y1, Z, cx, cy, params, bounds if use_bounds else None)
+        w = weight * (inb & mask)[:, None].astype(dtype)     # (E,2)
+        r = jnp.where((inb & mask)[:, None], r, 0.0)
+
+        ix = ii - t0                                          # local pose index
+        jx = jj - t0
+        vi = ix >= 0
+        vj = jx >= 0
+        nseg_b = N * N + 1
+        bad = N * N
+
+        def bid(a, b, va, vb):
+            return jnp.where(va & vb & mask, jnp.clip(a, 0, N - 1) * N + jnp.clip(b, 0, N - 1), bad)
+
+        # per-edge 6x6 blocks summed over the 2 residual rows
+        def blk(Ja, Jb):
+            return jnp.einsum("er,eri,erj->eij", w, Ja, Jb,
+                              preferred_element_type=jnp.float32)
+
+        Bii = blk(Ji, Ji)
+        Bjj = blk(Jj, Jj)
+        Bij = -blk(Ji, Jj)
+
+        Bflat = jax.ops.segment_sum(
+            jnp.concatenate([Bii, Bjj, Bij, jnp.swapaxes(Bij, 1, 2)], 0),
+            jnp.concatenate([bid(ix, ix, vi, vi), bid(jx, jx, vj, vj),
+                             bid(ix, jx, vi, vj), bid(jx, ix, vj, vi)], 0),
+            num_segments=nseg_b,
+        )[:bad]
+        B = Bflat.reshape(N, N, 6, 6).transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
+
+        # E blocks: (pose, patch) -> 6-vec
+        ei = -jnp.einsum("er,eri,er->ei", w, Ji, Jz, preferred_element_type=jnp.float32)
+        ej = jnp.einsum("er,eri,er->ei", w, Jj, Jz, preferred_element_type=jnp.float32)
+        kid = jnp.clip(kk, 0, K - 1)
+        nseg_e = N * K + 1
+        bad_e = N * K
+
+        def eid(a, va):
+            return jnp.where(va & mask, jnp.clip(a, 0, N - 1) * K + kid, bad_e)
+
+        Emat = jax.ops.segment_sum(
+            jnp.concatenate([ei, ej], 0),
+            jnp.concatenate([eid(ix, vi), eid(jx, vj)], 0),
+            num_segments=nseg_e,
+        )[:bad_e].reshape(N, K, 6)
+
+        # C, u over patches
+        kseg = jnp.where(mask, kid, K)
+        C = jax.ops.segment_sum(jnp.sum(w * Jz * Jz, -1), kseg, num_segments=K + 1)[:K]
+        u = jax.ops.segment_sum(jnp.sum(w * r * Jz, -1), kseg, num_segments=K + 1)[:K]
+
+        # v over poses
+        vi_vec = -jnp.einsum("er,eri->ei", w * r, Ji, preferred_element_type=jnp.float32)
+        vj_vec = jnp.einsum("er,eri->ei", w * r, Jj, preferred_element_type=jnp.float32)
+
+        def vid(a, va):
+            return jnp.where(va & mask, jnp.clip(a, 0, N - 1), N)
+
+        v = jax.ops.segment_sum(
+            jnp.concatenate([vi_vec, vj_vec], 0),
+            jnp.concatenate([vid(ix, vi), vid(jx, vj)], 0),
+            num_segments=N + 1,
+        )[:N].reshape(6 * N)
+
+        Q = 1.0 / (C + params.lmbda)                          # (K,)
+
+        if structure_only:
+            dZ = Q * u
+            dX = jnp.zeros((N, 6), dtype)
+        else:
+            Ef = Emat.transpose(0, 2, 1).reshape(6 * N, K)    # (6N, K)
+            EQ = Ef * Q[None, :]
+            S = B - EQ @ Ef.T
+            y = v - EQ @ u
+            # damping (ba_cuda.cu:575): S += I * (lm * S + ep)
+            S = S + jnp.diag(params.lm * jnp.diag(S) + params.ep)
+            L, low = jax.scipy.linalg.cho_factor(S, lower=True)
+            dX_flat = jax.scipy.linalg.cho_solve((L, low), y)
+            # zeros on Cholesky failure (reference ba.py:12-26)
+            dX_flat = jnp.where(jnp.any(jnp.isnan(dX_flat)), 0.0, dX_flat)
+            dZ = Q * (u - Ef.T @ dX_flat)
+            dX = dX_flat.reshape(N, 6)
+
+        # --- retractions ---
+        if not structure_only:
+            win = t0 + jnp.arange(N)
+            valid_w = win < poses.shape[0]
+            old = jnp.take(poses, jnp.clip(win, 0, poses.shape[0] - 1), axis=0)
+            new = se3_retr(old, dX.astype(dtype))
+            poses = poses.at[jnp.clip(win, 0, poses.shape[0] - 1)].set(
+                jnp.where(valid_w[:, None], new, old)
+            )
+
+        d_old = patches[:, 2, 0, 0]
+        d_new = d_old + dZ.astype(dtype)
+        if params.depth_clamp_mode == "inference":
+            # ba_cuda.cu:219-221: reset exploded depths, floor at 1e-4
+            d_new = jnp.where(d_new > 20.0, 1.0, d_new)
+            d_new = jnp.maximum(d_new, 1e-4)
+        else:
+            # reference ba.py:179
+            d_new = jnp.clip(d_new, 1e-3, 10.0)
+        # only update patches actually touched by valid edges
+        touched = jax.ops.segment_sum(mask.astype(jnp.int32), kseg, num_segments=K + 1)[:K] > 0
+        d_new = jnp.where(touched, d_new, d_old)
+        P = patches.shape[-1]
+        patches = patches.at[:, 2].set(jnp.broadcast_to(d_new[:, None, None], (K, P, P)))
+
+        return (poses, patches), None
+
+    (poses, patches), _ = jax.lax.scan(one_iteration, (poses, patches), None, length=iterations)
+    return poses, patches

@@ -1,0 +1,129 @@
+"""Bundle adjustment solver tests: convergence on synthetic problems."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cdvslam_tpu.lie import SE3
+from cdvslam_tpu.geom import transform
+from cdvslam_tpu.ba import ba_solve, TRAINING_PARAMS
+
+
+def _synth(seed=0, NF=6, M=12, P=3):
+    """Ground-truth scene: NF frames, M patches per frame, GT targets."""
+    rng = np.random.RandomState(seed)
+    key = jax.random.PRNGKey(seed)
+    gt_poses = SE3.exp(0.05 * jax.random.normal(key, (1, NF, 6)))
+    x = rng.uniform(20, 100, size=(NF * M,))
+    y = rng.uniform(20, 80, size=(NF * M,))
+    d = rng.uniform(0.5, 1.5, size=(NF * M,))
+    patches = np.zeros((NF * M, 3, P, P), np.float32)
+    patches[:, 0] = x[:, None, None]
+    patches[:, 1] = y[:, None, None]
+    patches[:, 2] = d[:, None, None]
+    patches = jnp.asarray(patches)
+    intr = jnp.asarray([60.0, 60.0, 60.0, 50.0])
+    intr_b = jnp.tile(intr, (1, NF, 1))
+
+    # all-pairs edges (i != j)
+    ii, jj = np.meshgrid(np.arange(NF), np.arange(NF), indexing="ij")
+    sel = ii != jj
+    ii_f = np.repeat(ii[sel], M)
+    jj_f = np.repeat(jj[sel], M)
+    kk_f = (ii_f * M + np.tile(np.arange(M), sel.sum()))
+    ii_f, jj_f, kk_f = map(jnp.asarray, (ii_f, jj_f, kk_f))
+
+    coords = transform(gt_poses, patches[None], intr_b, ii_f, jj_f, kk_f)
+    target = coords[0, :, P // 2, P // 2, :]
+    return gt_poses, patches, intr, target, ii_f, jj_f, kk_f
+
+
+def test_structure_only_recovers_depth():
+    gt_poses, patches, intr, target, ii, jj, kk = _synth()
+    K = patches.shape[0]
+    rng = np.random.RandomState(1)
+    pert = patches.at[:, 2].set(
+        jnp.asarray(np.clip(np.asarray(patches[:, 2]) + 0.3 * rng.randn(K)[:, None, None], 0.1, None), jnp.float32)
+    )
+    weight = jnp.ones((len(ii), 2))
+    mask = jnp.ones(len(ii), bool)
+    poses, out = ba_solve(
+        gt_poses.data[0], pert, intr, target, weight,
+        ii.astype(jnp.int32), jj.astype(jnp.int32), kk.astype(jnp.int32),
+        mask, 0, N=6, K=K, iterations=8, structure_only=True,
+    )
+    np.testing.assert_allclose(out[:, 2, 1, 1], patches[:, 2, 1, 1], atol=5e-3)
+    # poses untouched
+    np.testing.assert_allclose(poses, gt_poses.data[0], atol=0)
+
+
+def test_full_ba_drives_residual_down():
+    gt_poses, patches, intr, target, ii, jj, kk = _synth(seed=2)
+    K = patches.shape[0]
+    rng = np.random.RandomState(3)
+    # perturb poses (except pose 0) and depths
+    xi = 0.02 * rng.randn(6, 6).astype(np.float32)
+    xi[0] = 0
+    poses0 = SE3.exp(jnp.asarray(xi)).mul(SE3(gt_poses.data[0])).data
+    pert = patches.at[:, 2].add(jnp.asarray(0.2 * rng.randn(K).astype(np.float32))[:, None, None])
+    pert = pert.at[:, 2].set(jnp.clip(pert[:, 2], 0.05, None))
+    weight = jnp.ones((len(ii), 2))
+    mask = jnp.ones(len(ii), bool)
+
+    def resid(poses, patches):
+        coords = transform(SE3(poses[None]), patches[None], jnp.tile(intr, (1, 6, 1)), ii, jj, kk)
+        r = jnp.linalg.norm(coords[0, :, 1, 1, :] - target, axis=-1)
+        return float(jnp.mean(r))
+
+    r0 = resid(poses0, pert)
+    poses1, patches1 = ba_solve(
+        poses0, pert, intr, target, weight,
+        ii.astype(jnp.int32), jj.astype(jnp.int32), kk.astype(jnp.int32),
+        mask, 1, N=5, K=K, iterations=12,
+    )
+    r1 = resid(poses1, patches1)
+    assert r1 < 0.05 * r0, f"residual {r0} -> {r1}"
+    # pose 0 fixed (t0=1)
+    np.testing.assert_allclose(poses1[0], poses0[0], atol=0)
+
+
+def test_masked_padding_edges_are_noops():
+    gt_poses, patches, intr, target, ii, jj, kk = _synth(seed=4)
+    K = patches.shape[0]
+    weight = jnp.ones((len(ii), 2))
+    mask = jnp.ones(len(ii), bool)
+    args = dict(N=5, K=K, iterations=2)
+    p1, d1 = ba_solve(gt_poses.data[0], patches, intr, target, weight,
+                      ii.astype(jnp.int32), jj.astype(jnp.int32), kk.astype(jnp.int32),
+                      mask, 1, **args)
+    # append garbage padding edges with mask=False
+    pad = 17
+    ii2 = jnp.concatenate([ii, jnp.zeros(pad, ii.dtype)])
+    jj2 = jnp.concatenate([jj, jnp.ones(pad, jj.dtype)])
+    kk2 = jnp.concatenate([kk, jnp.zeros(pad, kk.dtype)])
+    t2 = jnp.concatenate([target, 1e6 * jnp.ones((pad, 2))])
+    w2 = jnp.concatenate([weight, 77.0 * jnp.ones((pad, 2))])
+    m2 = jnp.concatenate([mask, jnp.zeros(pad, bool)])
+    p2, d2 = ba_solve(gt_poses.data[0], patches, intr, t2, w2,
+                      ii2.astype(jnp.int32), jj2.astype(jnp.int32), kk2.astype(jnp.int32),
+                      m2, 1, **args)
+    np.testing.assert_allclose(p1, p2, atol=1e-6)
+    np.testing.assert_allclose(d1, d2, atol=1e-6)
+
+
+def test_ba_differentiable_training_mode():
+    gt_poses, patches, intr, target, ii, jj, kk = _synth(seed=5)
+    K = patches.shape[0]
+    weight = jnp.ones((len(ii), 2))
+    mask = jnp.ones(len(ii), bool)
+    bounds = jnp.asarray([-64.0, -64.0, 200.0, 200.0])
+
+    def loss(tgt, w):
+        p, d = ba_solve(gt_poses.data[0], patches, intr, tgt, w,
+                        ii.astype(jnp.int32), jj.astype(jnp.int32), kk.astype(jnp.int32),
+                        mask, 1, N=5, K=K, iterations=2,
+                        params=TRAINING_PARAMS, use_bounds=True, bounds=bounds)
+        return jnp.sum(p[:, :3] ** 2) + jnp.sum(d[:, 2, 1, 1] ** 2)
+
+    g_t, g_w = jax.grad(loss, argnums=(0, 1))(target, weight)
+    assert not np.any(np.isnan(g_t)) and not np.any(np.isnan(g_w))
+    assert float(jnp.abs(g_t).sum()) > 0
