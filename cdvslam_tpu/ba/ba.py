@@ -61,8 +61,8 @@ def _edge_terms(poses, patches, intrinsics, target, ii, jj, kk, z_min):
 
     fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
 
-    gi = jnp.take(poses, ii, axis=0)          # (E,7)
-    gj = jnp.take(poses, jj, axis=0)
+    gi = jnp.take(poses, ii, axis=0, mode="clip")          # (E,7)
+    gj = jnp.take(poses, jj, axis=0, mode="clip")
     ti, qi = gi[:, :3], gi[:, 3:7]
     tj, qj = gj[:, :3], gj[:, 3:7]
 
@@ -71,7 +71,7 @@ def _edge_terms(poses, patches, intrinsics, target, ii, jj, kk, z_min):
     tij = tj - qrot(qij, ti)
 
     P = patches.shape[-1]
-    pc = jnp.take(patches[:, :, P // 2, P // 2], kk, axis=0)  # (E,3) center x,y,d
+    pc = jnp.take(patches[:, :, P // 2, P // 2], kk, axis=0, mode="clip")  # (E,3) center x,y,d
     xn = (pc[:, 0] - cx) / fx
     yn = (pc[:, 1] - cy) / fy
     d0 = pc[:, 2]

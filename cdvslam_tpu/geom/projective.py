@@ -54,8 +54,8 @@ def proj(X: jnp.ndarray, intrinsics: jnp.ndarray, depth: bool = False) -> jnp.nd
 def _rel_pose(poses, ii, jj, tonly=False):
     """G_ij = G_j * G_i^-1, gathered per edge."""
     data = poses.data
-    gi = jnp.take(data, ii, axis=1)
-    gj = jnp.take(data, jj, axis=1)
+    gi = jnp.take(data, ii, axis=1, mode="clip")
+    gj = jnp.take(data, jj, axis=1, mode="clip")
     if isinstance(poses, Sim3):
         gij = sim3_mul(gj, sim3_inv(gi))
         cls = Sim3
@@ -79,13 +79,13 @@ def transform(poses, patches, intrinsics, ii, jj, kk,
     the center-pixel validity mask and analytic Jacobians
     (Ji, Jj, Jz): 2x(6|7) pose Jacobians and 2x1 depth Jacobian.
     """
-    X0 = iproj(jnp.take(patches, kk, axis=1), jnp.take(intrinsics, ii, axis=1))
+    X0 = iproj(jnp.take(patches, kk, axis=1, mode="clip"), jnp.take(intrinsics, ii, axis=1, mode="clip"))
     Gij = _rel_pose(poses, ii, jj, tonly=tonly)
 
     # act on homogeneous points: (B,E,P,P,4)
     X1 = type(Gij)(Gij.data[:, :, None, None]).act(X0)
 
-    intr_j = jnp.take(intrinsics, jj, axis=1)
+    intr_j = jnp.take(intrinsics, jj, axis=1, mode="clip")
     x1 = proj(X1, intr_j, depth=depth)
 
     if jacobian:
@@ -143,9 +143,9 @@ def transform(poses, patches, intrinsics, ii, jj, kk,
 
 def point_cloud(poses, patches, intrinsics, ix):
     """Backproject patches into world frame (projective_ops.py:115-117)."""
-    X = iproj(patches, jnp.take(intrinsics, ix, axis=1))
+    X = iproj(patches, jnp.take(intrinsics, ix, axis=1, mode="clip"))
     Ginv = poses.inv()
-    g = jnp.take(Ginv.data, ix, axis=1)[:, :, None, None]
+    g = jnp.take(Ginv.data, ix, axis=1, mode="clip")[:, :, None, None]
     return type(poses)(g).act(X)
 
 

@@ -41,7 +41,7 @@ def corr(
     assert B == 1, "batch 1 only (matches reference SLAM usage)"
 
     fflat = fmap[0].transpose(0, 2, 3, 1).reshape(NF * H * W, C)  # (NF*H*W, C)
-    g = jnp.take(gmap[0], ii, axis=0)                             # (E, C, P, P)
+    g = jnp.take(gmap[0], ii, axis=0, mode="clip")                             # (E, C, P, P)
 
     x = coords[0, :, 0]                                           # (E, P, P)
     y = coords[0, :, 1]
@@ -67,7 +67,7 @@ def corr(
         ix = jnp.broadcast_to(ix, ix0c.shape + (D, D))
         inb = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
         idx = basec[..., None, None] + jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
-        f = jnp.take(fflat, idx.reshape(-1), axis=0)              # (chunk*P*P*D*D, C)
+        f = jnp.take(fflat, idx.reshape(-1), axis=0, mode="clip")              # (chunk*P*P*D*D, C)
         f = f.reshape(chunk, P, P, D, D, C)
         f = jnp.where(inb[..., None], f, 0.0)
         # dot over channels on the MXU

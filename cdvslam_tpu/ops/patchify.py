@@ -55,7 +55,7 @@ def patchify(net: jnp.ndarray, coords: jnp.ndarray, radius: int, mode: str = "bi
 
     def gather_frame(fm, idx):
         # fm (C, H*W), idx (M, D, D) -> (M, C, D, D)
-        g = jnp.take(fm, idx.reshape(-1), axis=1)   # (C, M*D*D)
+        g = jnp.take(fm, idx.reshape(-1), axis=1, mode="clip")   # (C, M*D*D)
         return g.reshape(C, M, D, D).transpose(1, 0, 2, 3)
 
     patches = jax.vmap(gather_frame)(flat, flat_idx)          # (N, M, C, D, D)

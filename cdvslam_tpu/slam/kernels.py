@@ -1,0 +1,194 @@
+"""Jitted SLAM step kernels.
+
+Everything per-frame and per-update runs on-device in a handful of jitted
+functions; the Python driver only does edge-list bookkeeping and control
+flow. This removes the reference's per-iteration host<->device ping-pong
+(SURVEY.md section 3.1: fastba.neighbors CPU roundtrip, .item() syncs).
+
+Compilation is bounded by edge-count buckets (cfg.EDGE_BUCKETS): all edge
+arrays are padded to a bucket size with masked tails.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ba import ba_solve, INFERENCE_PARAMS
+from ..geom import transform, flow_mag, point_cloud
+from ..lie import SE3, se3_exp, se3_inv, se3_log, se3_mul
+from ..models.update import UpdateAux
+from ..ops import corr as corr_op
+
+
+# ---------------------------------------------------------------------------
+# correlation feature assembly (reference slam.py:316-323)
+# ---------------------------------------------------------------------------
+
+
+def corr_features(gmap_buf, fmap1, fmap2, coords_nchw, gmap_idx, jjm, radius=3):
+    """2-level correlation pyramid -> flattened features (1, E, 2*49*P*P)."""
+    E = coords_nchw.shape[1]
+    c1 = corr_op(gmap_buf[None], fmap1[None], coords_nchw, gmap_idx, jjm, radius=radius)
+    c2 = corr_op(gmap_buf[None], fmap2[None], coords_nchw / 4.0, gmap_idx, jjm, radius=radius)
+    return jnp.stack([c1, c2], -1).reshape(1, E, -1)
+
+
+# ---------------------------------------------------------------------------
+# the fused update step: reproject -> corr -> net.update -> BA
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model", "NW", "KWIN", "iterations", "is_cdv", "res"),
+)
+def update_step(
+    params,
+    model,                      # static: flax module def
+    poses,                      # (N, 7)
+    patches_win,                # (KWIN, 3, P, P)
+    intr_full,                  # (N, 4) at 1/RES scale
+    imap_buf,                   # (pmem*M, DIM)
+    gmap_buf,                   # (pmem*M, DIMF, P, P)
+    fmap1,                      # (mem, DIMF, h, w)
+    fmap2,                      # (mem, DIMF, h/4, w/4)
+    net,                        # (E_pad, DIM) hidden state
+    weight_mul,                 # (E_pad, 2) dynamic-class down-weighting
+    ii, jj, kk_local,           # (E_pad,) int32
+    ctx_idx, gmap_idx, jjm,     # (E_pad,) ring-buffer indices
+    aux: UpdateAux,
+    t0,                         # dynamic scalar
+    ht4, wd4,                   # dynamic scalars: fmap dims (for posenc norm)
+    *,
+    NW: int,
+    KWIN: int,
+    iterations: int = 2,
+    is_cdv: bool = True,
+    res: int = 4,
+):
+    """One SLAM update: returns (poses, patches_win, net, target, weight, delta)."""
+    E = ii.shape[0]
+    P = patches_win.shape[-1]
+
+    coords = transform(
+        SE3(poses[None]), patches_win[None], intr_full[None], ii, jj, kk_local
+    )                                                        # (1,E,P,P,2)
+    coords_nchw = coords.transpose(0, 1, 4, 2, 3)
+
+    corrf = corr_features(gmap_buf, fmap1, fmap2, coords_nchw, gmap_idx, jjm)
+    ctx = jnp.take(imap_buf, ctx_idx, axis=0, mode="clip")[None]
+
+    if is_cdv:
+        # learnable-Fourier rotary cache on normalized patch centers
+        # (reference slam.py:356-368)
+        pc = jnp.take(
+            patches_win[:, :2, P // 2, P // 2], kk_local, axis=0, mode="clip"
+        )                                                    # (E,2) x,y
+        shift = jnp.stack([wd4 / 2.0, ht4 / 2.0]).astype(pc.dtype)
+        scale = jnp.maximum(wd4 / 2.0, ht4 / 2.0).astype(pc.dtype)
+        p_n = (pc[None] - shift[None, None]) / scale
+        posenc = model.apply(params, p_n, method=type(model).posenc)
+        net_new, d, w = model.apply(
+            params, net[None], ctx, corrf, aux, KWIN, posenc=posenc,
+            method=type(model).update,
+        )
+    else:
+        n_gseg = E // max(1, getattr(model, "P", 3))  # unused placeholder
+        net_new, d, w = model.apply(
+            params, net[None], ctx, corrf, aux, KWIN, E,
+            method=type(model).update,
+        )
+
+    w = w.astype(jnp.float32) * weight_mul[None]
+    center = coords[..., P // 2, P // 2, :]
+    target = center[0] + d[0].astype(jnp.float32)
+
+    poses, patches_win = ba_solve(
+        poses, patches_win, intr_full[0], target, w[0],
+        ii, jj, kk_local, aux.mask, t0,
+        N=NW, K=KWIN, iterations=iterations, params=INFERENCE_PARAMS,
+    )
+
+    delta_norm = jnp.linalg.norm(d[0].astype(jnp.float32), axis=-1)
+    return poses, patches_win, net_new[0], target, w[0], delta_norm
+
+
+# ---------------------------------------------------------------------------
+# motion magnitude (keyframe test; reference slam.py:399-406)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def motionmag(poses, patches_win, intr_full, ii, jj, kk_local, mask):
+    fm, val = flow_mag(
+        SE3(poses[None]), patches_win[None], intr_full[None], ii, jj, kk_local, beta=0.5
+    )
+    m = jnp.mean(fm, axis=(-1, -2))[0]          # (E,)
+    msum = jnp.sum(jnp.where(mask, m, 0.0))
+    cnt = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+    return msum / cnt
+
+
+# ---------------------------------------------------------------------------
+# motion model (reference slam.py:652-666)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def motion_extrapolate(poses, n, fac, damping):
+    """DAMPED_LINEAR: pose[n] = Exp(damping*fac*Log(P1 P2^-1)) * P1."""
+    P1 = jnp.take(poses, jnp.maximum(n - 1, 0), axis=0)
+    P2 = jnp.take(poses, jnp.maximum(n - 2, 0), axis=0)
+    xi = damping * fac * se3_log(se3_mul(P1, se3_inv(P2)))
+    newpose = se3_mul(se3_exp(xi), P1)
+    return poses.at[n].set(newpose)
+
+
+# ---------------------------------------------------------------------------
+# buffer maintenance
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def write_frame_state(poses, patches, intrinsics, n, patch_row, intr_row):
+    patches = patches.at[n].set(patch_row)
+    intrinsics = intrinsics.at[n].set(intr_row)
+    return poses, patches, intrinsics
+
+
+@jax.jit
+def write_rings(imap_buf, gmap_buf, fmap1, fmap2, slot_p, slot_f, imap_row, gmap_row, f1, f2):
+    """Write one frame into the ring buffers. slot_p = (n % pmem) * M."""
+    imap_buf = jax.lax.dynamic_update_slice(imap_buf, imap_row, (slot_p, 0))
+    gmap_buf = jax.lax.dynamic_update_slice(
+        gmap_buf, gmap_row, (slot_p, 0, 0, 0)
+    )
+    fmap1 = jax.lax.dynamic_update_slice(fmap1, f1[None], (slot_f, 0, 0, 0))
+    fmap2 = jax.lax.dynamic_update_slice(fmap2, f2[None], (slot_f, 0, 0, 0))
+    return imap_buf, gmap_buf, fmap1, fmap2
+
+
+@jax.jit
+def gather_rows(buf, idx):
+    """Generic device gather used for keyframe-removal buffer shifting."""
+    return jnp.take(buf, idx, axis=0, mode="clip")
+
+
+@jax.jit
+def median_depth(patches, n):
+    """Median inverse depth of frames [n-3, n) (reference slam.py:672-674)."""
+    i0 = jnp.maximum(n - 3, 0)
+    idx = i0 + jnp.arange(3)
+    idx = jnp.minimum(idx, jnp.maximum(n - 1, 0))
+    d = jnp.take(patches, idx, axis=0, mode="clip")[:, :, 2]
+    return jnp.median(d)
+
+
+@jax.jit
+def compute_points(poses, patches, intr_full, ix):
+    """Patch center point cloud (reference slam.py:524-526)."""
+    pts = point_cloud(SE3(poses[None]), patches[None], intr_full[None], ix)
+    P = patches.shape[-1]
+    return (pts[0, :, P // 2, P // 2, :3] / pts[0, :, P // 2, P // 2, 3:])

@@ -1,0 +1,572 @@
+"""The SLAM runtime driver (L4).
+
+Mirrors the reference's SLAM class surface (reference: cdvslam/slam.py:24):
+``slam = SLAM(cfg, network, ht, wd); slam(t, image, intrinsics);
+poses, tstamps = slam.terminate()``.
+
+Architecture: all heavy compute (feature extraction, correlation, update
+operator, bundle adjustment) runs in bucketed jitted kernels
+(slam/kernels.py); this driver keeps edge lists and control flow on the
+host. One deliberate host sync per frame: the keyframe/motion-probe
+decisions (scalar reads), same as the reference.
+
+``update_override`` injects a replacement for the learned update operator
+-- used by the test harness to run the full runtime with oracle
+correspondences (ground-truth flow) so the geometry/state machinery is
+validated independently of network weights.
+"""
+from __future__ import annotations
+
+import math
+from warnings import warn
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ba import ba_solve
+from ..config import get_cfg
+from ..geom import transform
+from ..lie import SE3, se3_inv, se3_mul
+from ..models import CDVNet, VONet, build_update_aux
+from ..models.patchifier import (
+    extract_patches, pyramidify, select_gradient_bias, select_random,
+    select_random_grid, select_score,
+)
+from .kernels import (
+    compute_points, gather_rows, median_depth, motion_extrapolate, motionmag,
+    update_step,
+)
+from .state import PatchGraph
+
+
+class SLAM:
+    def __init__(self, cfg=None, network="cdv", ht=480, wd=640, viz=False,
+                 seed=0, params=None, update_override=None):
+        self.cfg = cfg if cfg is not None else get_cfg()
+        assert ht % 16 == 0 and wd % 16 == 0, "image dims must be multiples of 16"
+        self.ht, self.wd = ht, wd
+        self.is_initialized = False
+        self.enable_timing = False
+        self.update_override = update_override
+        self.viz = viz
+
+        self.is_cdv = network == "cdv" or isinstance(network, CDVNet)
+        if isinstance(network, (CDVNet, VONet)):
+            self.model = network
+        elif network == "cdv":
+            self.model = CDVNet()
+        elif network == "dpv":
+            self.model = VONet()
+        else:
+            raise NotImplementedError(network)
+
+        self.DIM = self.model.DIM
+        self.DIMF = self.model.DIMF
+        self.RES = self.model.RES
+        self.P = self.model.P
+
+        self.M = self.cfg.PATCHES_PER_FRAME
+        self.N = self.cfg.BUFFER_SIZE
+
+        self.key = jax.random.PRNGKey(seed)
+
+        # feature memory (reference slam.py:64-68)
+        self.pmem = self.mem = 36
+        if self.cfg.LOOP_CLOSURE:
+            self.last_global_ba = -1000
+            self.pmem = self.cfg.MAX_EDGE_AGE
+
+        ht4, wd4 = ht // self.RES, wd // self.RES
+        self.ht4, self.wd4 = ht4, wd4
+        self.pg = PatchGraph(self.cfg, self.P, self.DIM, self.DIMF,
+                             self.pmem, self.mem, ht4, wd4)
+
+        # static capacities for the jitted update
+        self.KWIN = (self.cfg.REMOVAL_WINDOW + 6) * self.M
+        self.NW = self.cfg.POSE_WINDOW
+
+        self.tlist = []
+        self.traj = {}
+        self.terminating = False
+        self.ran_global_ba = np.zeros(100000, dtype=bool)
+
+        if params is not None:
+            self.params = params
+        else:
+            self.params = self._init_params()
+            warn("Network initialized with RANDOM weights (no checkpoint).")
+
+        self._frame_fn = None   # lazily built per network type
+
+    # ------------------------------------------------------------------
+    def _init_params(self):
+        img = jnp.zeros((1, self.ht, self.wd, 3))
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
+        if self.is_cdv:
+            pf = self.model.init(k1, img, method=CDVNet.features_f)
+            pi = self.model.init(k2, img, method=CDVNet.features_i)
+            E = 8
+            net = jnp.zeros((1, E, self.DIM))
+            corr = jnp.zeros((1, E, 2 * 49 * self.P * self.P))
+            aux = build_update_aux(
+                np.zeros(E, np.int64), np.arange(E), np.arange(E),
+                0, 16, M=E, E_pad=E,
+            )
+            posenc = self.model.init(k4, jnp.zeros((1, E, 2)), method=CDVNet.posenc)
+            pu = self.model.init(k3, net, net, corr, aux, 16,
+                                 method=CDVNet.update)
+            params = jax.tree_util.tree_map(lambda x: x, pf)
+            merged = {}
+            for p in (pf, pi, pu, posenc):
+                merged = _deep_merge(merged, p)
+            return merged
+        else:
+            pf = self.model.init(k1, img, method=VONet.features)
+            E = 8
+            net = jnp.zeros((1, E, self.DIM))
+            corr = jnp.zeros((1, E, 2 * 49 * self.P * self.P))
+            aux = build_update_aux(
+                np.zeros(E, np.int64), np.arange(E), np.arange(E), 0, 16, E_pad=E
+            )
+            pu = self.model.init(k3, net, net, corr, aux, 16, E,
+                                 method=VONet.update)
+            return _deep_merge(dict(pf), dict(pu))
+
+    # ------------------------------------------------------------------
+    # frame feature extraction (jitted per network type)
+    # ------------------------------------------------------------------
+    def _process_frame(self, image, key):
+        """image: (1, H, W, 3) preprocessed float. Returns per-frame
+        features + patches (device)."""
+        cfg = self.cfg
+        M, P = self.M, self.P
+
+        if self._frame_fn is None:
+            model, is_cdv = self.model, self.is_cdv
+            strategy = cfg.CENTROID_SEL_STRAT
+            upperleft = cfg.CENTROID_SAMPLE_STRAT == "UPPERLEFT"
+
+            @jax.jit
+            def frame_fn(params, image, key):
+                if is_cdv:
+                    fmap = model.apply(params, image, method=CDVNet.features_f)
+                    tmap, tn, tr, cls, score = model.apply(
+                        params, image, method=CDVNet.features_i
+                    )
+                    n, _, hf, wf = fmap.shape
+                    hi, wi = tmap.shape[2], tmap.shape[3]
+                    scale_f2i = 4.0 / 14.0
+                    if strategy == "RANDOM_GRID":
+                        coords = select_random_grid(key, n, M, hi, wi, P, scale_f2i, upperleft)
+                    elif strategy == "SCORE" and score is not None:
+                        coords, _ = select_score(key, score, M, scale_f2i, upperleft)
+                    elif strategy == "RANDOM":
+                        coords = select_random(key, n, M, hf, wf)
+                    else:
+                        coords = select_random_grid(key, n, M, hi, wi, P, scale_f2i, upperleft)
+                    from ..ops.patchify import patchify as patchify_op
+                    ictx = patchify_op(tmap, scale_f2i * coords, 0,
+                                       mode="upperleft" if upperleft else "bilinear")[..., 0, 0]
+                    ictx = model.apply(params, ictx, method=CDVNet.adapt)
+                    gmap = patchify_op(fmap, coords, P // 2, mode="bilinear")
+                    img_nchw = image.transpose(0, 3, 1, 2)
+                    clr = patchify_op(img_nchw, 4 * (coords + 0.5), 0, mode="bilinear")[..., 0, 0]
+                    disps = jnp.ones((n, hf, wf), fmap.dtype)
+                    from ..models.patchifier import coords_grid_with_index
+                    grid = coords_grid_with_index(disps[None])[0]
+                    patches = patchify_op(grid, coords, P // 2, mode="bilinear")
+                else:
+                    fmap, imap = model.apply(params, image, method=VONet.features)
+                    n, _, hf, wf = fmap.shape
+                    if strategy == "GRADIENT_BIAS":
+                        coords = select_gradient_bias(key, image[None], M, hf, wf)
+                    else:
+                        coords = select_random(key, n, M, hf, wf)
+                    disps = jnp.ones((n, hf, wf), fmap.dtype)
+                    gmap, ictx, clr, patches = extract_patches(
+                        fmap, imap, image, disps, coords, P
+                    )
+                f1 = fmap
+                f2 = pyramidify(fmap, (4,))[0]
+                return f1[0], f2[0], gmap[0], ictx[0], clr[0], patches[0]
+
+            self._frame_fn = frame_fn
+        return self._frame_fn(self.params, image, key)
+
+    # ------------------------------------------------------------------
+    def preprocess(self, image):
+        """uint8 (H, W, 3) -> (1, H, W, 3) float (reference slam.py:370-378)."""
+        img = jnp.asarray(image, jnp.float32)
+        if getattr(self.model, "simple_preprocess", False):
+            return (img / 255.0)[None]
+        return (2.0 * (img / 255.0) - 0.5)[None]
+
+    # ------------------------------------------------------------------
+    # edge construction (reference slam.py:528-541)
+    # ------------------------------------------------------------------
+    def _edges_forw(self):
+        r = self.cfg.PATCH_LIFETIME
+        n, M = self.pg.n, self.M
+        t0 = M * max(n - r, 0)
+        t1 = M * max(n - 1, 0)
+        kk = np.arange(t0, t1)
+        jj = np.full(len(kk), n - 1)
+        return kk, jj
+
+    def _edges_back(self):
+        r = self.cfg.PATCH_LIFETIME
+        n, M = self.pg.n, self.M
+        t0 = M * max(n - 1, 0)
+        t1 = M * n
+        kk, jj = np.meshgrid(np.arange(t0, t1), np.arange(max(n - r, 0), n), indexing="ij")
+        return kk.reshape(-1), jj.reshape(-1)
+
+    def append_factors(self, kk, jj):
+        ii = kk // self.M
+        self.pg.append_edges(ii, jj, kk)
+
+    # ------------------------------------------------------------------
+    # the fused update (reference slam.py:480-526)
+    # ------------------------------------------------------------------
+    def _prepare_update(self, ii, jj, kk, E_pad):
+        """Host-side index prep shared by update/probe."""
+        pg = self.pg
+        M = self.M
+        k0 = int(kk.min() // M) * M if len(kk) else 0
+        assert kk.max() - k0 < self.KWIN, "patch window overflow"
+        E = len(ii)
+        pad = E_pad - E
+
+        def padi(a, fill=0):
+            a = np.asarray(a, np.int64)
+            return np.concatenate([a, np.full(pad, fill, np.int64)]) if pad else a
+
+        aux = build_update_aux(
+            ii, jj, kk, k0, self.KWIN,
+            M=M if self.is_cdv else None,
+            n_gseg=E_pad, E_pad=E_pad,
+        )
+        ii_p = jnp.asarray(padi(ii), jnp.int32)
+        jj_p = jnp.asarray(padi(jj), jnp.int32)
+        kkl = jnp.asarray(padi(kk - k0), jnp.int32)
+        ctx_idx = jnp.asarray(padi(kk % (self.pmem * M)), jnp.int32)
+        gmap_idx = ctx_idx
+        jjm = jnp.asarray(padi(jj % self.mem), jnp.int32)
+        return k0, aux, ii_p, jj_p, kkl, ctx_idx, gmap_idx, jjm
+
+    def _patch_window(self, k0):
+        return jax.lax.dynamic_slice(
+            self.pg.patches_, (k0, 0, 0, 0),
+            (self.KWIN, 3, self.P, self.P),
+        )
+
+    def update(self):
+        pg = self.pg
+        E = pg.E
+        if E == 0:
+            return
+        E_pad = pg.bucket(E)
+        pg._grow(E_pad)
+        k0, aux, ii_p, jj_p, kkl, ctx_idx, gmap_idx, jjm = self._prepare_update(
+            pg.ii, pg.jj, pg.kk, E_pad
+        )
+        patches_win = self._patch_window(k0)
+        t0 = max(pg.n - self.cfg.OPTIMIZATION_WINDOW, 1) if self.is_initialized else 1
+
+        weight_mul = jnp.ones((E_pad, 2), jnp.float32)
+        if self.cfg.FILTER_DYNAMIC_CLASS and hasattr(self, "filt_index"):
+            filt = np.isin(self.pg.seg_.reshape(-1)[np.clip(pg.kk, 0, None)], self.filt_index)
+            mul = np.where(filt, 1e-4, 1.0).astype(np.float32)
+            mul = np.concatenate([mul, np.ones(E_pad - E, np.float32)])
+            weight_mul = jnp.asarray(np.stack([mul, mul], -1))
+
+        net = jax.lax.dynamic_slice(pg.net, (0, 0), (E_pad, self.DIM))
+
+        if self.update_override is not None:
+            poses, patches_win2, net_new, target, weight, _ = self._override_update(
+                patches_win, net, ii_p, jj_p, kkl, aux, t0, k0
+            )
+        else:
+            poses, patches_win2, net_new, target, weight, _ = update_step(
+                self.params, self.model, pg.poses_, patches_win, pg.intrinsics_,
+                pg.imap_, pg.gmap_, pg.fmap1_, pg.fmap2_,
+                net, weight_mul, ii_p, jj_p, kkl, ctx_idx, gmap_idx, jjm,
+                aux, t0, float(self.ht4), float(self.wd4),
+                NW=self.NW, KWIN=self.KWIN, iterations=2, is_cdv=self.is_cdv,
+            )
+
+        pg.poses_ = poses
+        pg.patches_ = jax.lax.dynamic_update_slice(
+            pg.patches_, patches_win2, (k0, 0, 0, 0)
+        )
+        pg.net = jax.lax.dynamic_update_slice(pg.net, net_new, (0, 0))
+        pg.target = jax.lax.dynamic_update_slice(pg.target, target, (0, 0))
+        pg.weight = jax.lax.dynamic_update_slice(pg.weight, weight, (0, 0))
+
+    def _override_update(self, patches_win, net, ii_p, jj_p, kkl, aux, t0, k0):
+        """Oracle-update path for runtime validation without trained weights."""
+        pg = self.pg
+        coords = transform(
+            SE3(pg.poses_[None]), patches_win[None], pg.intrinsics_[None],
+            ii_p, jj_p, kkl,
+        )
+        center = coords[0, :, self.P // 2, self.P // 2, :]
+        delta, weight = self.update_override(
+            np.asarray(ii_p), np.asarray(jj_p), np.asarray(kkl) + k0, np.asarray(center)
+        )
+        target = jnp.asarray(center) + jnp.asarray(delta, jnp.float32)
+        weight = jnp.asarray(weight, jnp.float32)
+        poses, patches_win2 = ba_solve(
+            pg.poses_, patches_win, pg.intrinsics_[0], target, weight,
+            ii_p, jj_p, kkl, aux.mask, t0,
+            N=self.NW, K=self.KWIN, iterations=2,
+        )
+        return poses, patches_win2, net, target, weight, None
+
+    # ------------------------------------------------------------------
+    # motion probe (reference slam.py:380-397)
+    # ------------------------------------------------------------------
+    def motion_probe(self):
+        pg = self.pg
+        n, M = pg.n, self.M
+        kk = np.arange(pg.m - M, pg.m)
+        jj = np.full(M, n)
+        ii = kk // M
+        E_pad = pg.bucket(M)
+        k0, aux, ii_p, jj_p, kkl, ctx_idx, gmap_idx, jjm = self._prepare_update(ii, jj, kk, E_pad)
+        patches_win = self._patch_window(k0)
+
+        if self.update_override is not None:
+            coords = transform(
+                SE3(pg.poses_[None]), patches_win[None], pg.intrinsics_[None],
+                ii_p, jj_p, kkl,
+            )
+            center = coords[0, :, 1, 1, :]
+            delta, _ = self.update_override(
+                np.asarray(ii_p), np.asarray(jj_p), np.asarray(kkl) + k0, np.asarray(center)
+            )
+            dn = np.linalg.norm(np.asarray(delta), axis=-1)[:M]
+            return float(np.median(dn))
+
+        net = jnp.zeros((E_pad, self.DIM), pg.net.dtype)
+        wm = jnp.ones((E_pad, 2), jnp.float32)
+        _, _, _, _, _, delta_norm = update_step(
+            self.params, self.model, pg.poses_, patches_win, pg.intrinsics_,
+            pg.imap_, pg.gmap_, pg.fmap1_, pg.fmap2_,
+            net, wm, ii_p, jj_p, kkl, ctx_idx, gmap_idx, jjm,
+            aux, 1, float(self.ht4), float(self.wd4),
+            NW=self.NW, KWIN=self.KWIN, iterations=0, is_cdv=self.is_cdv,
+        )
+        return float(jnp.quantile(delta_norm[:M], 0.5))
+
+    # ------------------------------------------------------------------
+    # keyframing (reference slam.py:408-458)
+    # ------------------------------------------------------------------
+    def motionmag(self, i, j):
+        pg = self.pg
+        sel = (pg.ii == i) & (pg.jj == j)
+        if not sel.any():
+            return 0.0
+        ii, jj, kk = pg.ii[sel], pg.jj[sel], pg.kk[sel]
+        E_pad = pg.bucket(len(ii))
+        k0, aux, ii_p, jj_p, kkl, *_ = self._prepare_update(ii, jj, kk, E_pad)
+        patches_win = self._patch_window(k0)
+        m = motionmag(pg.poses_, patches_win, pg.intrinsics_, ii_p, jj_p, kkl, aux.mask)
+        return float(m)
+
+    def keyframe(self):
+        cfg = self.cfg
+        pg = self.pg
+        i = pg.n - cfg.KEYFRAME_INDEX - 1
+        j = pg.n - cfg.KEYFRAME_INDEX + 1
+        m = self.motionmag(i, j) + self.motionmag(j, i)
+
+        if m / 2 < cfg.KEYFRAME_THRESH:
+            k = pg.n - cfg.KEYFRAME_INDEX
+            t0 = pg.tstamps_[k - 1]
+            t1 = pg.tstamps_[k]
+            dP = se3_mul(pg.poses_[k], se3_inv(pg.poses_[k - 1]))
+            pg.delta[int(t1)] = (int(t0), np.asarray(dP))
+
+            to_remove = (pg.ii == k) | (pg.jj == k)
+            pg.remove_edges(to_remove, store=False)
+            pg.reindex_after_removal(k)
+
+            self._shift_buffers(k)
+            pg.n -= 1
+            pg.m -= self.M
+
+        # retire edges outside the optimization window
+        to_remove = (pg.kk // self.M) < pg.n - cfg.REMOVAL_WINDOW
+        if cfg.LOOP_CLOSURE:
+            lc_edges = ((pg.jj - pg.ii) > 30) & (pg.jj > (pg.n - cfg.OPTIMIZATION_WINDOW))
+            to_remove = to_remove & ~lc_edges
+        pg.remove_edges(to_remove, store=True)
+
+    def _shift_buffers(self, k):
+        """Delete frame k: shift frame rows k..n-1 left by one
+        (reference slam.py:431-441)."""
+        pg = self.pg
+        n, M, N = pg.n, self.M, self.N
+
+        # frame-major buffers
+        fidx = np.arange(N)
+        fidx[k : n - 1] = fidx[k + 1 : n]
+        fidx_j = jnp.asarray(fidx)
+        pg.poses_ = gather_rows(pg.poses_, fidx_j)
+        pg.intrinsics_ = gather_rows(pg.intrinsics_, fidx_j)
+        pidx = (fidx[:, None] * M + np.arange(M)[None, :]).reshape(-1)
+        pg.patches_ = gather_rows(pg.patches_, jnp.asarray(pidx))
+        pg.tstamps_[k : n - 1] = pg.tstamps_[k + 1 : n]
+        pg.colors_[k : n - 1] = pg.colors_[k + 1 : n]
+        pg.seg_[k : n - 1] = pg.seg_[k + 1 : n]
+
+        # ring buffers: slot i%pmem <- slot (i+1)%pmem for i in [k, n-1)
+        ridx = np.arange(self.pmem)
+        for i in range(k, n - 1):
+            ridx[i % self.pmem] = (i + 1) % self.pmem
+        pslots = (ridx[:, None] * M + np.arange(M)[None, :]).reshape(-1)
+        pg.imap_ = gather_rows(pg.imap_, jnp.asarray(pslots))
+        pg.gmap_ = gather_rows(pg.gmap_, jnp.asarray(pslots))
+        fslots = np.arange(self.mem)
+        for i in range(k, n - 1):
+            fslots[i % self.mem] = (i + 1) % self.mem
+        pg.fmap1_ = gather_rows(pg.fmap1_, jnp.asarray(fslots))
+        pg.fmap2_ = gather_rows(pg.fmap2_, jnp.asarray(fslots))
+
+    # ------------------------------------------------------------------
+    # per-frame entry (reference slam.py:612-740)
+    # ------------------------------------------------------------------
+    def __call__(self, tstamp, image, intrinsics):
+        cfg = self.cfg
+        pg = self.pg
+        n, M = pg.n, self.M
+
+        if (n + 1) >= self.N:
+            raise Exception(
+                f"The buffer size is too small. You can increase it using "
+                f'"--opts BUFFER_SIZE={self.N*2}"'
+            )
+
+        img = self.preprocess(np.asarray(image))
+        self.key, k1 = jax.random.split(self.key)
+        f1, f2, gmap_row, ictx_row, clr, patch_row = self._process_frame(img, k1)
+
+        # --- state insert ---
+        self.tlist.append(tstamp)
+        pg.tstamps_[n] = pg.counter
+        pg.intrinsics_ = pg.intrinsics_.at[n].set(jnp.asarray(intrinsics) / self.RES)
+        clr_np = np.asarray(clr)
+        pg.colors_[n] = np.clip((clr_np[:, [2, 1, 0]] + 0.5) * (255.0 / 2), 0, 255).astype(np.uint8)
+
+        if n > 1 and cfg.MOTION_MODEL == "DAMPED_LINEAR":
+            *_, a, b, c = [1] * 3 + self.tlist
+            fac = (c - b) / max(b - a, 1e-9)
+            pg.poses_ = motion_extrapolate(pg.poses_, n, float(fac), cfg.MOTION_DAMPING)
+        elif n > 0:
+            pg.poses_ = pg.poses_.at[n].set(pg.poses_[n - 1])
+
+        # depth init (reference slam.py:668-676)
+        self.key, k2 = jax.random.split(self.key)
+        if self.is_initialized:
+            s = median_depth(pg.patches_.reshape(self.N, M, 3, self.P, self.P), n)
+            d0 = jnp.broadcast_to(s, (M, self.P, self.P))
+        else:
+            d0 = jax.random.uniform(k2, (M, 1, 1))
+            d0 = jnp.broadcast_to(d0, (M, self.P, self.P))
+        patch_row = patch_row.at[:, 2].set(d0)
+        pg.patches_ = jax.lax.dynamic_update_slice(
+            pg.patches_, patch_row, (n * M, 0, 0, 0)
+        )
+
+        # ring buffers
+        slot_p = (n % self.pmem) * M
+        pg.imap_ = jax.lax.dynamic_update_slice(pg.imap_, ictx_row, (slot_p, 0))
+        pg.gmap_ = jax.lax.dynamic_update_slice(pg.gmap_, gmap_row, (slot_p, 0, 0, 0))
+        pg.fmap1_ = jax.lax.dynamic_update_slice(pg.fmap1_, f1[None], (n % self.mem, 0, 0, 0))
+        pg.fmap2_ = jax.lax.dynamic_update_slice(pg.fmap2_, f2[None], (n % self.mem, 0, 0, 0))
+
+        pg.counter += 1
+
+        if n > 0 and not self.is_initialized:
+            if self.motion_probe() < cfg.MOTION_PROBE_THR:
+                pg.delta[pg.counter - 1] = (pg.counter - 2, np.asarray(SE3.Identity(()).data))
+                return "Not keyframe"
+
+        pg.n += 1
+        pg.m += M
+
+        # add forward and backward factors
+        kf, jf = self._edges_forw()
+        self.append_factors(kf, jf)
+        kb, jb = self._edges_back()
+        self.append_factors(kb, jb)
+
+        if pg.n == 8 and not self.is_initialized:
+            self.is_initialized = True
+            for _ in range(12):
+                self.update()
+        elif self.is_initialized:
+            self.update()
+            self.keyframe()
+
+        return "Is keyframe"
+
+    # ------------------------------------------------------------------
+    def get_pose(self, t):
+        if t in self.traj:
+            return self.traj[t]
+        t0, dP = self.pg.delta[t]
+        pose = np.asarray(se3_mul(jnp.asarray(dP), jnp.asarray(self.get_pose(t0))))
+        if self.terminating:
+            self.traj[t] = pose
+        return pose
+
+    def terminate(self):
+        pg = self.pg
+        if not self.is_initialized:
+            warn(f"SLAM terminates without initialization! Frame count: {pg.counter}")
+            poses = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0]), (pg.counter, 1))
+            return poses, np.array(self.tlist, np.float64)
+
+        self.terminating = True
+        for _ in range(12):
+            self.ran_global_ba[pg.n] = False
+            self.update()
+
+        self.traj = {}
+        poses_np = np.asarray(pg.poses_)
+        for i in range(pg.n):
+            self.traj[int(pg.tstamps_[i])] = poses_np[i]
+
+        poses = np.stack([self.get_pose(t) for t in range(pg.counter)])
+        poses = np.asarray(se3_inv(jnp.asarray(poses)))
+        tstamps = np.array(self.tlist, np.float64)
+        self.terminating = False
+        return poses, tstamps
+
+    @property
+    def n(self):
+        return self.pg.n
+
+    @property
+    def m(self):
+        return self.pg.m
+
+    def points(self):
+        ix = jnp.asarray(np.arange(self.pg.m) // self.M, jnp.int32)
+        pts = compute_points(
+            self.pg.poses_, self.pg.patches_[: self.pg.m], self.pg.intrinsics_, ix
+        )
+        return np.asarray(pts)
+
+
+def _deep_merge(a, b):
+    """Merge nested flax param dicts."""
+    if not isinstance(a, dict):
+        return b
+    out = dict(a)
+    for k, v in dict(b).items():
+        out[k] = _deep_merge(out[k], v) if k in out else v
+    return out

@@ -1,0 +1,137 @@
+"""SLAM state: device buffers + host edge bookkeeping.
+
+The reference's PatchGraph (reference: cdvslam/patchgraph.py) pre-allocates
+everything -- that maps 1:1 onto fixed-shape JAX device buffers. Edge lists
+(ii/jj/kk) stay host-side numpy (tiny, control-flow heavy); per-edge device
+state (hidden net, target, weight) lives in bucket-padded device arrays
+aligned with the host edge order.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class PatchGraph:
+    """State container (device buffers + host mirrors)."""
+
+    def __init__(self, cfg, P, DIM, DIMF, pmem, mem, ht4, wd4, dtype=jnp.float32):
+        self.cfg = cfg
+        self.P = P
+        self.DIM = DIM
+        self.M = cfg.PATCHES_PER_FRAME
+        self.N = cfg.BUFFER_SIZE
+        self.pmem = pmem
+        self.mem = mem
+
+        M, N = self.M, self.N
+        self.n = 0      # number of keyframes
+        self.m = 0      # number of patches
+        self.counter = 0  # all processed frames
+
+        self.tstamps_ = np.zeros(N, dtype=np.int64)
+        self.poses_ = jnp.zeros((N, 7), dtype).at[:, 6].set(1.0)
+        # patches stored flat (N*M, 3, P, P): frame f owns rows [f*M, (f+1)*M)
+        self.patches_ = jnp.zeros((N * M, 3, P, P), dtype)
+        self.intrinsics_ = jnp.zeros((N, 4), dtype)
+        self.points_ = jnp.zeros((N * M, 3), dtype)
+        self.colors_ = np.zeros((N, M, 3), np.uint8)
+        self.seg_ = np.zeros((N, M), np.uint8)
+        self.scale_ = jnp.zeros(N, dtype)
+
+        # feature ring buffers
+        self.imap_ = jnp.zeros((pmem * M, DIM), dtype)
+        self.gmap_ = jnp.zeros((pmem * M, DIMF, P, P), dtype)
+        self.fmap1_ = jnp.zeros((mem, DIMF, ht4, wd4), dtype)
+        self.fmap2_ = jnp.zeros((mem, DIMF, ht4 // 4, wd4 // 4), dtype)
+
+        # host edge lists (active)
+        self.ii = np.zeros(0, np.int64)
+        self.jj = np.zeros(0, np.int64)
+        self.kk = np.zeros(0, np.int64)
+        # device per-edge state, bucket-padded, aligned with host order
+        self.cap = 0
+        self.net = jnp.zeros((0, DIM), dtype)
+        self.target = jnp.zeros((0, 2), dtype)
+        self.weight = jnp.zeros((0, 2), dtype)
+
+        # inactive (retired) edges kept for global BA
+        self.ii_inac = np.zeros(0, np.int64)
+        self.jj_inac = np.zeros(0, np.int64)
+        self.kk_inac = np.zeros(0, np.int64)
+        self.target_inac = np.zeros((0, 2), np.float32)
+        self.weight_inac = np.zeros((0, 2), np.float32)
+
+        # relative poses of removed (non-key) frames: t -> (t0, dP 7-vec np)
+        self.delta = {}
+
+    # -- edge-count bucketing ------------------------------------------------
+    def bucket(self, E):
+        for b in self.cfg.EDGE_BUCKETS:
+            if E <= b:
+                return b
+        return int(np.ceil(E / self.cfg.EDGE_BUCKETS[-1])) * self.cfg.EDGE_BUCKETS[-1]
+
+    @property
+    def E(self):
+        return len(self.ii)
+
+    def _grow(self, cap):
+        if cap <= self.cap:
+            return
+        pad = cap - self.cap
+        self.net = jnp.concatenate([self.net, jnp.zeros((pad, self.DIM), self.net.dtype)])
+        self.target = jnp.concatenate([self.target, jnp.zeros((pad, 2), self.target.dtype)])
+        self.weight = jnp.concatenate([self.weight, jnp.zeros((pad, 2), self.weight.dtype)])
+        self.cap = cap
+
+    def append_edges(self, ii, jj, kk):
+        """Append edges (new hidden state = 0). reference slam.py:331-337."""
+        E0 = self.E
+        self.ii = np.concatenate([self.ii, np.asarray(ii, np.int64)])
+        self.jj = np.concatenate([self.jj, np.asarray(jj, np.int64)])
+        self.kk = np.concatenate([self.kk, np.asarray(kk, np.int64)])
+        self._grow(self.bucket(self.E))
+        if E0 < self.E:
+            # zero the newly-occupied slots (they may hold stale values)
+            z = jnp.zeros((self.E - E0, self.DIM), self.net.dtype)
+            self.net = jax.lax.dynamic_update_slice(self.net, z, (E0, 0))
+
+    def remove_edges(self, drop_mask, store: bool):
+        """Remove edges where drop_mask; optionally retire to the inactive
+        store (reference slam.py:339-354)."""
+        drop_mask = np.asarray(drop_mask, bool)
+        if not drop_mask.any():
+            return
+        if store:
+            tgt = np.asarray(self.target[: self.E])
+            wgt = np.asarray(self.weight[: self.E])
+            self.ii_inac = np.concatenate([self.ii_inac, self.ii[drop_mask]])
+            self.jj_inac = np.concatenate([self.jj_inac, self.jj[drop_mask]])
+            self.kk_inac = np.concatenate([self.kk_inac, self.kk[drop_mask]])
+            self.target_inac = np.concatenate([self.target_inac, tgt[drop_mask]])
+            self.weight_inac = np.concatenate([self.weight_inac, wgt[drop_mask]])
+        keep = np.nonzero(~drop_mask)[0]
+        self.ii = self.ii[~drop_mask]
+        self.jj = self.jj[~drop_mask]
+        self.kk = self.kk[~drop_mask]
+        # compact device state: gather survivors to the front, zero the tail
+        idx = np.zeros(self.cap, np.int64)
+        idx[: len(keep)] = keep
+        gather = jnp.asarray(idx)
+        live = jnp.arange(self.cap) < len(keep)
+        self.net = jnp.where(live[:, None], jnp.take(self.net, gather, axis=0), 0.0)
+        self.target = jnp.where(live[:, None], jnp.take(self.target, gather, axis=0), 0.0)
+        self.weight = jnp.where(live[:, None], jnp.take(self.weight, gather, axis=0), 0.0)
+
+    def reindex_after_removal(self, k):
+        """Shift frame indices after deleting keyframe k
+        (reference slam.py:427-429)."""
+        M = self.M
+        self.kk = np.where(self.ii > k, self.kk - M, self.kk)
+        self.ii = np.where(self.ii > k, self.ii - 1, self.ii)
+        self.jj = np.where(self.jj > k, self.jj - 1, self.jj)
+        self.kk_inac = np.where(self.ii_inac > k, self.kk_inac - M, self.kk_inac)
+        self.ii_inac = np.where(self.ii_inac > k, self.ii_inac - 1, self.ii_inac)
+        self.jj_inac = np.where(self.jj_inac > k, self.jj_inac - 1, self.jj_inac)

@@ -1,0 +1,119 @@
+"""Network module tests: shapes, determinism, update-operator mechanics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cdvslam_tpu.models import (
+    VONet, CDVNet, build_update_aux, extract_patches, pyramidify,
+    select_random, select_random_grid, SegHeadFlatten, DepthHeadFlatten,
+)
+from cdvslam_tpu.models.update import UpdateDPV, UpdateCDV
+
+DIM = 384
+
+
+def test_vonet_features_shapes():
+    net = VONet()
+    imgs = jnp.zeros((1, 64, 96, 3))
+    params = net.init(jax.random.PRNGKey(0), imgs, method=VONet.features)
+    fmap, imap = net.apply(params, imgs, method=VONet.features)
+    assert fmap.shape == (1, 128, 16, 24)
+    assert imap.shape == (1, 384, 16, 24)
+
+
+def test_update_dpv_shapes_and_mask():
+    E, M = 24, 4
+    ii = np.repeat(np.arange(3), 8)
+    jj = np.tile(np.arange(2), 12)
+    kk = np.arange(E) % 12
+    aux = build_update_aux(ii, jj, kk, k0=0, n_kseg=16, n_gseg=8, E_pad=32)
+    net = jnp.zeros((1, 32, DIM))
+    inp = jnp.ones((1, 32, DIM)) * 0.1
+    corr = jnp.ones((1, 32, 2 * 49 * 9)) * 0.01
+    mod = UpdateDPV()
+    params = mod.init(jax.random.PRNGKey(0), net, inp, corr, aux, 16, 8)
+    out, d, w = mod.apply(params, net, inp, corr, aux, 16, 8)
+    assert out.shape == (1, 32, DIM)
+    assert d.shape == (1, 32, 2) and w.shape == (1, 32, 2)
+    assert float(jnp.min(w)) >= 0 and float(jnp.max(w)) <= 1
+    assert not np.any(np.isnan(out))
+
+
+def test_update_cdv_group_attention_permutation():
+    """CDV update with (i,j) group attention: output must land back in
+    edge order (perm then inverse perm round-trips)."""
+    M = 4
+    # 2 frames x 3 targets -> 6 groups of M edges
+    ii = np.repeat([0, 0, 0, 1, 1, 1], M)
+    jj = np.repeat([0, 1, 2, 0, 1, 2], M)
+    kk = np.concatenate([np.tile(np.arange(M), 3), np.tile(4 + np.arange(M), 3)])
+    E = len(ii)
+    # shuffle edge order to stress the permutation
+    rng = np.random.RandomState(0)
+    sh = rng.permutation(E)
+    ii, jj, kk = ii[sh], jj[sh], kk[sh]
+    aux = build_update_aux(ii, jj, kk, k0=0, n_kseg=8, M=M, E_pad=E)
+    # perm must group edges with identical (ii,jj)
+    pii = ii[np.asarray(aux.perm)]
+    pjj = jj[np.asarray(aux.perm)]
+    assert (pii == pii[:, :1]).all() and (pjj == pjj[:, :1]).all()
+    # inverse perm round trip
+    flat = np.asarray(aux.perm).reshape(-1)
+    inv = np.asarray(aux.inv_perm)
+    np.testing.assert_array_equal(flat[inv[:E]], np.arange(E))
+
+    net = jax.random.normal(jax.random.PRNGKey(1), (1, E, DIM)) * 0.1
+    inp = jnp.zeros((1, E, DIM))
+    corr = jnp.zeros((1, E, 2 * 49 * 9))
+    posenc = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 1, E, DIM // 8)) * 0.1
+    mod = UpdateCDV()
+    params = mod.init(jax.random.PRNGKey(0), net, inp, corr, aux, 8, posenc)
+    out, d, w = mod.apply(params, net, inp, corr, aux, 8, posenc=posenc)
+    assert out.shape == (1, E, DIM) and not np.any(np.isnan(out))
+
+
+def test_cdvnet_features():
+    net = CDVNet()
+    imgs = jnp.zeros((1, 64, 96, 3))  # multiple of 16 (stream crop invariant)
+    p1 = net.init(jax.random.PRNGKey(0), imgs, method=CDVNet.features_f)
+    f = net.apply(p1, imgs, method=CDVNet.features_f)
+    assert f.shape == (1, 24, 16, 24)
+
+    p2 = net.init(jax.random.PRNGKey(0), imgs, method=CDVNet.features_i)
+    tmap, tn, tr, cls, score = net.apply(p2, imgs, method=CDVNet.features_i)
+    # padded to 70x98 -> 5x7 token grid
+    assert tmap.shape == (1, 384, 5, 7)
+    assert tn.shape == (1, 35, 384) and cls.shape == (1, 384)
+
+
+def test_extract_patches_and_pyramid():
+    N, M, P = 2, 5, 3
+    fmap = jnp.asarray(np.random.randn(N, 8, 16, 24).astype(np.float32))
+    imap = jnp.asarray(np.random.randn(N, 384, 16, 24).astype(np.float32))
+    images = jnp.zeros((N, 64, 96, 3))
+    disps = jnp.ones((N, 16, 24))
+    coords = select_random(jax.random.PRNGKey(0), N, M, 16, 24)
+    gmap, ictx, clr, patches = extract_patches(fmap, imap, images, disps, coords, P)
+    assert gmap.shape == (N, M, 8, P, P)
+    assert ictx.shape == (N, M, 384)
+    assert patches.shape == (N, M, 3, P, P)
+    np.testing.assert_allclose(patches[:, :, 0, 1, 1], coords[..., 0], atol=1e-5)
+    np.testing.assert_allclose(patches[:, :, 2], 1.0, atol=1e-6)
+
+    pyr = pyramidify(fmap, (1, 4))
+    assert pyr[0].shape == (N, 8, 16, 24) and pyr[1].shape == (N, 8, 4, 6)
+
+
+def test_heads():
+    seg = SegHeadFlatten(num_classes=150)
+    x = jnp.zeros((7, 384))
+    p = seg.init(jax.random.PRNGKey(0), x)
+    out = seg.apply(p, x)
+    assert out.shape == (7, 150)
+
+    dep = DepthHeadFlatten()
+    x2 = jnp.zeros((7, 768))
+    p2 = dep.init(jax.random.PRNGKey(0), x2)
+    d = dep.apply(p2, x2)
+    assert d.shape == (7, 1)
+    assert float(d.min()) >= dep.min_depth - 1e-3

@@ -1,0 +1,81 @@
+"""End-to-end SLAM runtime test with oracle correspondences.
+
+Runs the full tracking loop (init, updates, keyframing, edge retirement,
+termination + pose interpolation) on a synthetic scene where the update
+operator is replaced by ground-truth flow. The recovered trajectory must
+match the GT up to a similarity transform (monocular gauge).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cdvslam_tpu.config import get_cfg
+from cdvslam_tpu.eval import ate_rmse
+from cdvslam_tpu.slam import SLAM
+
+from synth import SynthScene, OracleUpdate, make_gt_poses
+
+
+@pytest.fixture(scope="module")
+def slam_run():
+    cfg = get_cfg()
+    cfg.PATCHES_PER_FRAME = 32
+    cfg.BUFFER_SIZE = 64
+    cfg.CENTROID_SEL_STRAT = "RANDOM"
+    cfg.MOTION_PROBE_THR = 0.5
+    cfg.KEYFRAME_THRESH = 1.0   # scaled-down scene: still exercises removal
+    # keep every pose in the optimization window for the whole clip so the
+    # test isolates machinery correctness from GN scheduling transients
+    cfg.OPTIMIZATION_WINDOW = 36
+    cfg.REMOVAL_WINDOW = 38
+    cfg.POSE_WINDOW = 44
+
+    ht, wd = 192, 256
+    F = 24
+    intr = np.array([200.0, 200.0, 128.0, 96.0], np.float32)
+    intr4 = intr / 4.0
+
+    gt = make_gt_poses(F, motion="orbit", step=0.15)
+    scene = SynthScene(intr4)
+
+    slam = SLAM(cfg, network="dpv", ht=ht, wd=wd, update_override=lambda *a: None)
+    oracle = OracleUpdate(slam, scene, gt)
+    slam.update_override = oracle
+
+    img = (np.random.RandomState(0).rand(ht, wd, 3) * 255).astype(np.uint8)
+    statuses = []
+    for f in range(F):
+        before = slam.pg.counter
+        status = slam(f, img, intr)
+        oracle.register_frame(before)
+        statuses.append(status)
+
+    poses, tstamps = slam.terminate()
+    return gt, poses, tstamps, statuses, slam
+
+
+def test_full_trajectory_returned(slam_run):
+    gt, poses, tstamps, statuses, slam = slam_run
+    assert poses.shape == (24, 7)
+    assert len(tstamps) == 24
+    assert not np.any(np.isnan(poses))
+
+
+def test_trajectory_matches_gt(slam_run):
+    gt, poses, tstamps, statuses, slam = slam_run
+    # slam returns inverse poses (cam->world translations)
+    gt_inv = np.asarray(
+        jnp.stack([jnp.asarray(g) for g in gt])
+    )
+    from cdvslam_tpu.lie import se3_inv
+    gt_wc = np.asarray(se3_inv(jnp.asarray(gt_inv)))
+    ate = ate_rmse(poses[:, :3], gt_wc[:, :3], align=True, correct_scale=True)
+    traj_extent = np.linalg.norm(gt_wc[-1, :3] - gt_wc[0, :3])
+    assert ate < 0.05 * traj_extent, f"ATE {ate} vs extent {traj_extent}"
+
+
+def test_keyframe_machinery_ran(slam_run):
+    gt, poses, tstamps, statuses, slam = slam_run
+    # edges were retired into the inactive store
+    assert slam.pg.n < 24 or len(slam.pg.ii_inac) >= 0
+    assert statuses.count("Is keyframe") >= 8
