@@ -1,0 +1,64 @@
+"""Benchmark: steady-state odometry FPS at EuRoC resolution on one TPU chip.
+
+Runs the full CDV-SLAM tracking loop (DINOv2 + XFeat feature extraction,
+patch correlation, gated-attention update, bundle adjustment, keyframing)
+on synthetic frames at EuRoC resolution (480 x 752), measuring
+steady-state frames/sec after compilation warmup.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: 60 FPS target on one v5e chip (BASELINE.md).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from cdvslam_tpu.config import get_cfg
+    from cdvslam_tpu.slam import SLAM
+
+    ht, wd = 480, 752  # EuRoC cam0 resolution (crop-to-16 safe)
+    cfg = get_cfg()
+    # random weights predict ~zero motion; force keyframe acceptance so the
+    # timed loop includes the full update+BA+keyframe path
+    cfg.MOTION_PROBE_THR = -1.0
+
+    slam = SLAM(cfg, network="cdv", ht=ht, wd=wd)
+
+    rng = np.random.RandomState(0)
+    frames = [
+        (rng.rand(ht, wd, 3) * 255).astype(np.uint8) for _ in range(8)
+    ]
+    intr = np.array([458.654, 457.296, 367.215, 248.375], np.float32)
+
+    # warmup: initialization + a few steady-state frames (compiles all
+    # bucketed kernels)
+    WARM = 16
+    TIMED = 30
+    t_all = []
+    for f in range(WARM + TIMED):
+        img = frames[f % len(frames)]
+        t0 = time.perf_counter()
+        slam(f, img, intr)
+        # block on the pose buffer so timing includes device work
+        jax.block_until_ready(slam.pg.poses_)
+        t1 = time.perf_counter()
+        if f >= WARM:
+            t_all.append(t1 - t0)
+
+    fps = 1.0 / float(np.median(t_all))
+    print(json.dumps({
+        "metric": "euroc_res_odometry_fps",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 60.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
