@@ -61,6 +61,7 @@ def update_step(
     aux: UpdateAux,
     t0,                         # dynamic scalar
     ht4, wd4,                   # dynamic scalars: fmap dims (for posenc norm)
+    mm_i=-1, mm_j=-1,           # keyframe motion-mag frame pair (dynamic)
     *,
     NW: int,
     KWIN: int,
@@ -88,7 +89,7 @@ def update_step(
         )                                                    # (E,2) x,y
         shift = jnp.stack([wd4 / 2.0, ht4 / 2.0]).astype(pc.dtype)
         scale = jnp.maximum(wd4 / 2.0, ht4 / 2.0).astype(pc.dtype)
-        p_n = (pc[None] - shift[None, None]) / scale
+        p_n = ((pc[None] - shift[None, None]) / scale).astype(imap_buf.dtype)
         posenc = model.apply(params, p_n, method=type(model).posenc)
         net_new, d, w = model.apply(
             params, net[None], ctx, corrf, aux, KWIN, posenc=posenc,
@@ -111,8 +112,24 @@ def update_step(
         N=NW, K=KWIN, iterations=iterations, params=INFERENCE_PARAMS,
     )
 
+    # motion magnitude for the keyframe test, computed on the POST-BA poses
+    # inside the same dispatch (reference does it in a separate call,
+    # slam.py:399-406)
+    fm, _ = flow_mag(SE3(poses[None]), patches_win[None], intr_full[None],
+                     ii, jj, kk_local, beta=0.5)
+    fmean = jnp.mean(fm[0], axis=(-1, -2))
+
+    def masked_mean(sel):
+        c = jnp.maximum(jnp.sum(sel.astype(jnp.float32)), 1.0)
+        return jnp.sum(jnp.where(sel, fmean, 0.0)) / c
+
+    mm = jnp.stack([
+        masked_mean(aux.mask & (ii == mm_i) & (jj == mm_j)),
+        masked_mean(aux.mask & (ii == mm_j) & (jj == mm_i)),
+    ])
+
     delta_norm = jnp.linalg.norm(d[0].astype(jnp.float32), axis=-1)
-    return poses, patches_win, net_new[0], target, w[0], delta_norm
+    return poses, patches_win, net_new[0], target, w[0], delta_norm, mm
 
 
 # ---------------------------------------------------------------------------
@@ -192,3 +209,55 @@ def compute_points(poses, patches, intr_full, ix):
     pts = point_cloud(SE3(poses[None]), patches[None], intr_full[None], ix)
     P = patches.shape[-1]
     return (pts[0, :, P // 2, P // 2, :3] / pts[0, :, P // 2, P // 2, 3:])
+
+
+# ---------------------------------------------------------------------------
+# fused keyframe removal (fixed-span buffer shift, one dispatch)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("SPAN", "M", "pmem", "mem"))
+def remove_keyframe_shift(poses, patches, intrinsics, imap_buf, gmap_buf,
+                          fmap1, fmap2, k, n, *, SPAN: int, M: int,
+                          pmem: int, mem: int):
+    """Delete frame k = n - KEYFRAME_INDEX: rows [k+1, k+1+SPAN) shift to
+    [k, k+SPAN); ring slots i%pmem <- (i+1)%pmem for i in [k, k+SPAN).
+    SPAN = KEYFRAME_INDEX - 1 is static, so every slice is fixed-shape --
+    one dispatch replaces the reference's per-frame Python loop
+    (slam.py:431-441).
+    """
+    src = jax.lax.dynamic_slice(poses, (k + 1, 0), (SPAN, 7))
+    poses = jax.lax.dynamic_update_slice(poses, src, (k, 0))
+    srci = jax.lax.dynamic_slice(intrinsics, (k + 1, 0), (SPAN, 4))
+    intrinsics = jax.lax.dynamic_update_slice(intrinsics, srci, (k, 0))
+    P = patches.shape[-1]
+    srcp = jax.lax.dynamic_slice(patches, ((k + 1) * M, 0, 0, 0), (SPAN * M, 3, P, P))
+    patches = jax.lax.dynamic_update_slice(patches, srcp, (k * M, 0, 0, 0))
+
+    for s in range(SPAN):
+        i = k + s
+        dslot = (i % pmem) * M
+        sslot = ((i + 1) % pmem) * M
+        row = jax.lax.dynamic_slice(imap_buf, (sslot, 0), (M, imap_buf.shape[1]))
+        imap_buf = jax.lax.dynamic_update_slice(imap_buf, row, (dslot, 0))
+        g = jax.lax.dynamic_slice(gmap_buf, (sslot, 0, 0, 0),
+                                  (M,) + gmap_buf.shape[1:])
+        gmap_buf = jax.lax.dynamic_update_slice(gmap_buf, g, (dslot, 0, 0, 0))
+        df = i % mem
+        sf = (i + 1) % mem
+        f1 = jax.lax.dynamic_slice(fmap1, (sf, 0, 0, 0), (1,) + fmap1.shape[1:])
+        fmap1 = jax.lax.dynamic_update_slice(fmap1, f1, (df, 0, 0, 0))
+        f2 = jax.lax.dynamic_slice(fmap2, (sf, 0, 0, 0), (1,) + fmap2.shape[1:])
+        fmap2 = jax.lax.dynamic_update_slice(fmap2, f2, (df, 0, 0, 0))
+
+    return poses, patches, intrinsics, imap_buf, gmap_buf, fmap1, fmap2
+
+
+@jax.jit
+def compact_edge_state(net, target, weight, gather, nkeep):
+    """Fused survivor compaction of per-edge device state (one dispatch)."""
+    live = (jnp.arange(net.shape[0]) < nkeep)[:, None]
+    net = jnp.where(live, jnp.take(net, gather, axis=0, mode="clip"), 0.0)
+    target = jnp.where(live, jnp.take(target, gather, axis=0, mode="clip"), 0.0)
+    weight = jnp.where(live, jnp.take(weight, gather, axis=0, mode="clip"), 0.0)
+    return net, target, weight

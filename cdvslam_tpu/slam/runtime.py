@@ -18,6 +18,7 @@ validated independently of network weights.
 from __future__ import annotations
 
 import math
+from functools import partial
 from warnings import warn
 
 import numpy as np
@@ -33,9 +34,10 @@ from ..models.patchifier import (
     extract_patches, pyramidify, select_gradient_bias, select_random,
     select_random_grid, select_score,
 )
+from ..utils.timer import Timer
 from .kernels import (
-    compute_points, gather_rows, median_depth, motion_extrapolate, motionmag,
-    update_step,
+    compact_edge_state, compute_points, gather_rows, median_depth,
+    motion_extrapolate, motionmag, remove_keyframe_shift, update_step,
 )
 from .state import PatchGraph
 
@@ -73,14 +75,15 @@ class SLAM:
 
         # feature memory (reference slam.py:64-68)
         self.pmem = self.mem = 36
+        self.last_global_ba = -1000
         if self.cfg.LOOP_CLOSURE:
-            self.last_global_ba = -1000
-            self.pmem = self.cfg.MAX_EDGE_AGE
+            self.pmem = min(self.cfg.MAX_EDGE_AGE, self.cfg.BUFFER_SIZE)
 
         ht4, wd4 = ht // self.RES, wd // self.RES
         self.ht4, self.wd4 = ht4, wd4
+        self.fdtype = jnp.bfloat16 if self.cfg.MIXED_PRECISION else jnp.float32
         self.pg = PatchGraph(self.cfg, self.P, self.DIM, self.DIMF,
-                             self.pmem, self.mem, ht4, wd4)
+                             self.pmem, self.mem, ht4, wd4, fdtype=self.fdtype)
 
         # static capacities for the jitted update
         self.KWIN = (self.cfg.REMOVAL_WINDOW + 6) * self.M
@@ -96,6 +99,16 @@ class SLAM:
         else:
             self.params = self._init_params()
             warn("Network initialized with RANDOM weights (no checkpoint).")
+        # compute-precision copy of the weights (reference runs autocast
+        # half, slam.py:59-62; bf16 is the TPU-native equivalent)
+        if self.cfg.MIXED_PRECISION:
+            self.cparams = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                self.params,
+            )
+        else:
+            self.cparams = self.params
 
         self._frame_fn = None   # lazily built per network type
 
@@ -136,63 +149,117 @@ class SLAM:
     # ------------------------------------------------------------------
     # frame feature extraction (jitted per network type)
     # ------------------------------------------------------------------
-    def _process_frame(self, image, key):
-        """image: (1, H, W, 3) preprocessed float. Returns per-frame
-        features + patches (device)."""
+    def _process_frame(self, image_u8, key, fac, initialized, intr_row):
+        """One fused dispatch for the whole per-frame state path: preprocess,
+        feature extraction, patch selection/gather, motion model, depth
+        init, ring-buffer + patch-row writes (reference spreads this over
+        slam.py:625-682 with many separate kernel launches)."""
         cfg = self.cfg
         M, P = self.M, self.P
+        pg = self.pg
 
         if self._frame_fn is None:
             model, is_cdv = self.model, self.is_cdv
             strategy = cfg.CENTROID_SEL_STRAT
             upperleft = cfg.CENTROID_SAMPLE_STRAT == "UPPERLEFT"
+            simple = getattr(self.model, "simple_preprocess", False)
+            cdtype = self.fdtype
+            pmem, mem, N = self.pmem, self.mem, self.N
+            damping = cfg.MOTION_DAMPING
+            from ..lie import se3_exp, se3_inv, se3_log, se3_mul
+            from ..ops.patchify import patchify as patchify_op
+            from ..models.patchifier import coords_grid_with_index
 
-            @jax.jit
-            def frame_fn(params, image, key):
+            @partial(jax.jit, donate_argnums=(3, 4, 5, 6, 7, 8, 9))
+            def frame_fn(params, image_u8, key, poses, patches_buf, intr_buf,
+                         imap_buf, gmap_buf, f1buf, f2buf, n, fac,
+                         initialized, intr_row):
+                img = image_u8.astype(jnp.float32)
+                image_f32 = (img / 255.0)[None] if simple else (2.0 * (img / 255.0) - 0.5)[None]
+                image = image_f32.astype(cdtype)
+
                 if is_cdv:
                     fmap = model.apply(params, image, method=CDVNet.features_f)
-                    tmap, tn, tr, cls, score = model.apply(
+                    tmap, tn, trw, cls, score = model.apply(
                         params, image, method=CDVNet.features_i
                     )
-                    n, _, hf, wf = fmap.shape
+                    nb, _, hf, wf = fmap.shape
                     hi, wi = tmap.shape[2], tmap.shape[3]
                     scale_f2i = 4.0 / 14.0
-                    if strategy == "RANDOM_GRID":
-                        coords = select_random_grid(key, n, M, hi, wi, P, scale_f2i, upperleft)
-                    elif strategy == "SCORE" and score is not None:
+                    if strategy == "SCORE" and score is not None:
                         coords, _ = select_score(key, score, M, scale_f2i, upperleft)
                     elif strategy == "RANDOM":
-                        coords = select_random(key, n, M, hf, wf)
+                        coords = select_random(key, nb, M, hf, wf)
                     else:
-                        coords = select_random_grid(key, n, M, hi, wi, P, scale_f2i, upperleft)
-                    from ..ops.patchify import patchify as patchify_op
+                        coords = select_random_grid(key, nb, M, hi, wi, P, scale_f2i, upperleft)
                     ictx = patchify_op(tmap, scale_f2i * coords, 0,
                                        mode="upperleft" if upperleft else "bilinear")[..., 0, 0]
                     ictx = model.apply(params, ictx, method=CDVNet.adapt)
                     gmap = patchify_op(fmap, coords, P // 2, mode="bilinear")
-                    img_nchw = image.transpose(0, 3, 1, 2)
+                    img_nchw = image_f32.transpose(0, 3, 1, 2)
                     clr = patchify_op(img_nchw, 4 * (coords + 0.5), 0, mode="bilinear")[..., 0, 0]
-                    disps = jnp.ones((n, hf, wf), fmap.dtype)
-                    from ..models.patchifier import coords_grid_with_index
+                    disps = jnp.ones((nb, hf, wf), jnp.float32)
                     grid = coords_grid_with_index(disps[None])[0]
-                    patches = patchify_op(grid, coords, P // 2, mode="bilinear")
+                    patch_row = patchify_op(grid, coords, P // 2, mode="bilinear")[0]
                 else:
                     fmap, imap = model.apply(params, image, method=VONet.features)
-                    n, _, hf, wf = fmap.shape
+                    nb, _, hf, wf = fmap.shape
                     if strategy == "GRADIENT_BIAS":
                         coords = select_gradient_bias(key, image[None], M, hf, wf)
                     else:
-                        coords = select_random(key, n, M, hf, wf)
-                    disps = jnp.ones((n, hf, wf), fmap.dtype)
-                    gmap, ictx, clr, patches = extract_patches(
-                        fmap, imap, image, disps, coords, P
+                        coords = select_random(key, nb, M, hf, wf)
+                    disps = jnp.ones((nb, hf, wf), jnp.float32)
+                    gmap, ictx, clr, patch_row4 = extract_patches(
+                        fmap, imap, image_f32.astype(fmap.dtype), disps.astype(fmap.dtype), coords, P
                     )
-                f1 = fmap
-                f2 = pyramidify(fmap, (4,))[0]
-                return f1[0], f2[0], gmap[0], ictx[0], clr[0], patches[0]
+                    patch_row = patch_row4[0].astype(jnp.float32)
+                    clr = clr.astype(jnp.float32)
+
+                f1 = fmap[0]
+                f2 = pyramidify(fmap, (4,))[0][0]
+
+                # ---- state insert (fused) ----
+                intr_buf = intr_buf.at[n].set(intr_row)
+
+                # motion model (DAMPED_LINEAR, slam.py:652-666)
+                P1 = jnp.take(poses, jnp.maximum(n - 1, 0), axis=0)
+                P2 = jnp.take(poses, jnp.maximum(n - 2, 0), axis=0)
+                xi = damping * fac * se3_log(se3_mul(P1, se3_inv(P2)))
+                extrap = se3_mul(se3_exp(xi), P1)
+                newpose = jnp.where(n > 1, extrap, jnp.where(n > 0, P1, poses[0]))
+                poses = poses.at[n].set(newpose)
+
+                # depth init (slam.py:668-676)
+                i0 = jnp.maximum(n - 3, 0)
+                idx3 = jnp.minimum(i0 + jnp.arange(3), jnp.maximum(n - 1, 0))
+                pflat = patches_buf.reshape(N, M, 3, P, P)
+                dmed = jnp.median(jnp.take(pflat, idx3, axis=0, mode="clip")[:, :, 2])
+                key2 = jax.random.fold_in(key, 1)
+                drand = jnp.broadcast_to(jax.random.uniform(key2, (M, 1, 1)), (M, P, P))
+                d0 = jnp.where(initialized, jnp.broadcast_to(dmed, (M, P, P)), drand)
+                patch_row = patch_row.astype(jnp.float32).at[:, 2].set(d0)
+                patches_buf = jax.lax.dynamic_update_slice(
+                    patches_buf, patch_row, (n * M, 0, 0, 0))
+
+                # ring buffers
+                slot_p = (n % pmem) * M
+                imap_buf = jax.lax.dynamic_update_slice(imap_buf, ictx[0], (slot_p, 0))
+                gmap_buf = jax.lax.dynamic_update_slice(gmap_buf, gmap[0], (slot_p, 0, 0, 0))
+                f1buf = jax.lax.dynamic_update_slice(f1buf, f1[None], (n % mem, 0, 0, 0))
+                f2buf = jax.lax.dynamic_update_slice(f2buf, f2[None], (n % mem, 0, 0, 0))
+
+                return poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf, f2buf, clr[0]
 
             self._frame_fn = frame_fn
-        return self._frame_fn(self.params, image, key)
+
+        out = self._frame_fn(
+            self.cparams, image_u8, key, pg.poses_, pg.patches_, pg.intrinsics_,
+            pg.imap_, pg.gmap_, pg.fmap1_, pg.fmap2_, pg.n, fac,
+            initialized, intr_row,
+        )
+        (pg.poses_, pg.patches_, pg.intrinsics_, pg.imap_, pg.gmap_,
+         pg.fmap1_, pg.fmap2_, clr) = out
+        return clr
 
     # ------------------------------------------------------------------
     def preprocess(self, image):
@@ -229,12 +296,25 @@ class SLAM:
     # ------------------------------------------------------------------
     # the fused update (reference slam.py:480-526)
     # ------------------------------------------------------------------
+    def _kwin_for_span(self, span_frames):
+        """Patch-window capacity: default for local tracking, power-of-two
+        frame buckets when loop-closure edges widen the span."""
+        base = self.cfg.REMOVAL_WINDOW + 6
+        if span_frames <= base:
+            return self.KWIN
+        b = 64
+        while b < span_frames + 2:
+            b *= 2
+        return b * self.M
+
     def _prepare_update(self, ii, jj, kk, E_pad):
         """Host-side index prep shared by update/probe."""
         pg = self.pg
         M = self.M
         k0 = int(kk.min() // M) * M if len(kk) else 0
-        assert kk.max() - k0 < self.KWIN, "patch window overflow"
+        span = int(kk.max()) - k0 + 1 if len(kk) else 1
+        KWIN = self._kwin_for_span((span + M - 1) // M)
+        assert int(kk.max()) - k0 < KWIN, "patch window overflow"
         E = len(ii)
         pad = E_pad - E
 
@@ -243,7 +323,7 @@ class SLAM:
             return np.concatenate([a, np.full(pad, fill, np.int64)]) if pad else a
 
         aux = build_update_aux(
-            ii, jj, kk, k0, self.KWIN,
+            ii, jj, kk, k0, KWIN,
             M=M if self.is_cdv else None,
             n_gseg=E_pad, E_pad=E_pad,
         )
@@ -253,13 +333,15 @@ class SLAM:
         ctx_idx = jnp.asarray(padi(kk % (self.pmem * M)), jnp.int32)
         gmap_idx = ctx_idx
         jjm = jnp.asarray(padi(jj % self.mem), jnp.int32)
-        return k0, aux, ii_p, jj_p, kkl, ctx_idx, gmap_idx, jjm
+        return k0, KWIN, aux, ii_p, jj_p, kkl, ctx_idx, gmap_idx, jjm
 
-    def _patch_window(self, k0):
+    def _patch_window(self, k0, KWIN=None):
+        KWIN = KWIN or self.KWIN
+        k0 = min(k0, self.N * self.M - KWIN)
         return jax.lax.dynamic_slice(
             self.pg.patches_, (k0, 0, 0, 0),
-            (self.KWIN, 3, self.P, self.P),
-        )
+            (KWIN, 3, self.P, self.P),
+        ), k0
 
     def update(self):
         pg = self.pg
@@ -268,11 +350,17 @@ class SLAM:
             return
         E_pad = pg.bucket(E)
         pg._grow(E_pad)
-        k0, aux, ii_p, jj_p, kkl, ctx_idx, gmap_idx, jjm = self._prepare_update(
+        k0, KWIN, aux, ii_p, jj_p, kkl, ctx_idx, gmap_idx, jjm = self._prepare_update(
             pg.ii, pg.jj, pg.kk, E_pad
         )
-        patches_win = self._patch_window(k0)
+        patches_win, k0 = self._patch_window(k0, KWIN)
+        kkl = jnp.asarray(np.concatenate([pg.kk - k0, np.zeros(E_pad - E, np.int64)]), jnp.int32)
         t0 = max(pg.n - self.cfg.OPTIMIZATION_WINDOW, 1) if self.is_initialized else 1
+
+        # long-range (loop closure) edges present -> global BA this round
+        long_range = bool((pg.ii < pg.n - self.cfg.REMOVAL_WINDOW - 1).any()) \
+            and not self.ran_global_ba[pg.n]
+        ba_iters = 0 if long_range else 2
 
         weight_mul = jnp.ones((E_pad, 2), jnp.float32)
         if self.cfg.FILTER_DYNAMIC_CLASS and hasattr(self, "filt_index"):
@@ -283,18 +371,26 @@ class SLAM:
 
         net = jax.lax.dynamic_slice(pg.net, (0, 0), (E_pad, self.DIM))
 
+        mi = pg.n - self.cfg.KEYFRAME_INDEX - 1
+        mj = pg.n - self.cfg.KEYFRAME_INDEX + 1
         if self.update_override is not None:
             poses, patches_win2, net_new, target, weight, _ = self._override_update(
-                patches_win, net, ii_p, jj_p, kkl, aux, t0, k0
+                patches_win, net, ii_p, jj_p, kkl, aux, t0, k0, KWIN, ba_iters
             )
+            self._mm_cache = None
         else:
-            poses, patches_win2, net_new, target, weight, _ = update_step(
-                self.params, self.model, pg.poses_, patches_win, pg.intrinsics_,
+            poses, patches_win2, net_new, target, weight, _, mm = update_step(
+                self.cparams, self.model, pg.poses_, patches_win, pg.intrinsics_,
                 pg.imap_, pg.gmap_, pg.fmap1_, pg.fmap2_,
                 net, weight_mul, ii_p, jj_p, kkl, ctx_idx, gmap_idx, jjm,
-                aux, t0, float(self.ht4), float(self.wd4),
-                NW=self.NW, KWIN=self.KWIN, iterations=2, is_cdv=self.is_cdv,
+                aux, t0, float(self.ht4), float(self.wd4), mi, mj,
+                NW=self.NW, KWIN=KWIN, iterations=ba_iters, is_cdv=self.is_cdv,
             )
+            try:
+                mm.copy_to_host_async()
+            except Exception:
+                pass
+            self._mm_cache = (mi, mj, mm)
 
         pg.poses_ = poses
         pg.patches_ = jax.lax.dynamic_update_slice(
@@ -304,9 +400,14 @@ class SLAM:
         pg.target = jax.lax.dynamic_update_slice(pg.target, target, (0, 0))
         pg.weight = jax.lax.dynamic_update_slice(pg.weight, weight, (0, 0))
 
-    def _override_update(self, patches_win, net, ii_p, jj_p, kkl, aux, t0, k0):
+        if long_range:
+            self._run_global_ba()
+
+    def _override_update(self, patches_win, net, ii_p, jj_p, kkl, aux, t0, k0,
+                         KWIN=None, ba_iters=2):
         """Oracle-update path for runtime validation without trained weights."""
         pg = self.pg
+        KWIN = KWIN or self.KWIN
         coords = transform(
             SE3(pg.poses_[None]), patches_win[None], pg.intrinsics_[None],
             ii_p, jj_p, kkl,
@@ -320,9 +421,85 @@ class SLAM:
         poses, patches_win2 = ba_solve(
             pg.poses_, patches_win, pg.intrinsics_[0], target, weight,
             ii_p, jj_p, kkl, aux.mask, t0,
-            N=self.NW, K=self.KWIN, iterations=2,
+            N=self.NW, K=KWIN, iterations=ba_iters,
         )
         return poses, patches_win2, net, target, weight, None
+
+    # ------------------------------------------------------------------
+    # global bundle adjustment + normalization (reference slam.py:460-478)
+    # ------------------------------------------------------------------
+    def normalize(self):
+        """Rescale mean disparity to 1 and fix the gauge to pose 0
+        (reference patchgraph.py:99-119)."""
+        pg = self.pg
+        n, M = pg.n, self.M
+        if n == 0:
+            return
+        d = pg.patches_[: n * M, 2]
+        s = float(jnp.mean(d))
+        if not np.isfinite(s) or s <= 0:
+            return
+        pg.patches_ = pg.patches_.at[: n * M, 2].divide(s)
+        pg.poses_ = pg.poses_.at[:n, :3].multiply(s)
+        for tkey, (tt0, dP) in list(pg.delta.items()):
+            dP = np.asarray(dP, np.float32).copy()
+            dP[:3] *= s
+            pg.delta[tkey] = (tt0, dP)
+        from ..lie import se3_inv as _inv, se3_mul as _mul
+        g0_inv = _inv(pg.poses_[0])
+        pg.poses_ = pg.poses_.at[:n].set(_mul(pg.poses_[:n], g0_inv[None]))
+
+    def _run_global_ba(self):
+        """Global BA over active + inactive edges with the block-sparse
+        pose-depth coupling (reference slam.py:460-478, eff_impl)."""
+        from ..ba.global_ba import build_global_indices, global_ba_solve
+
+        pg = self.pg
+        n, M = pg.n, self.M
+        full_ii = np.concatenate([pg.ii_inac, pg.ii])
+        full_jj = np.concatenate([pg.jj_inac, pg.jj])
+        full_kk = np.concatenate([pg.kk_inac, pg.kk])
+        tgt_act = np.asarray(pg.target[: pg.E])
+        wgt_act = np.asarray(pg.weight[: pg.E])
+        full_t = np.concatenate([pg.target_inac, tgt_act]).astype(np.float32)
+        full_w = np.concatenate([pg.weight_inac, wgt_act]).astype(np.float32)
+
+        self.normalize()
+
+        t0 = int(pg.ii.min()) if pg.E else 1
+        span = n - t0
+        Nb = next((b for b in self.cfg.GLOBAL_POSE_BUCKETS if span <= b),
+                  self.cfg.GLOBAL_POSE_BUCKETS[-1])
+        Kf = next((b for b in self.cfg.GLOBAL_POSE_BUCKETS if n <= b),
+                  self.cfg.GLOBAL_POSE_BUCKETS[-1])
+        Kb = min(Kf * M, self.N * M)
+
+        idx = build_global_indices(full_ii, full_jj, full_kk, M)
+        E_pad = idx["E_pad"]
+        tgt_p = np.zeros((E_pad, 2), np.float32)
+        tgt_p[: len(full_t)] = full_t
+        wgt_p = np.zeros((E_pad, 2), np.float32)
+        wgt_p[: len(full_w)] = full_w
+
+        patches_k = jax.lax.dynamic_slice(
+            pg.patches_, (0, 0, 0, 0), (Kb, 3, self.P, self.P)
+        )
+        poses, patches_k = global_ba_solve(
+            pg.poses_, patches_k, pg.intrinsics_[0],
+            jnp.asarray(tgt_p), jnp.asarray(wgt_p),
+            jnp.asarray(idx["ii"], jnp.int32), jnp.asarray(idx["jj"], jnp.int32),
+            jnp.asarray(idx["kk"], jnp.int32), jnp.asarray(idx["mask"]),
+            jnp.asarray(idx["entry_x"], jnp.int32), jnp.asarray(idx["entry_s"], jnp.int32),
+            jnp.asarray(idx["slot"], jnp.int32),
+            jnp.asarray(idx["g_i"], jnp.int32), jnp.asarray(idx["g_j"], jnp.int32),
+            jnp.asarray(idx["g_mask"]),
+            jnp.asarray(idx["combo_g1"], jnp.int32), jnp.asarray(idx["combo_g2"], jnp.int32),
+            jnp.asarray(idx["combo_mask"]),
+            t0, N=Nb, K=Kb, M=M, G=idx["G_pad"], C=idx["C_pad"], iterations=2,
+        )
+        pg.poses_ = poses
+        pg.patches_ = jax.lax.dynamic_update_slice(pg.patches_, patches_k, (0, 0, 0, 0))
+        self.ran_global_ba[n] = True
 
     # ------------------------------------------------------------------
     # motion probe (reference slam.py:380-397)
@@ -334,8 +511,8 @@ class SLAM:
         jj = np.full(M, n)
         ii = kk // M
         E_pad = pg.bucket(M)
-        k0, aux, ii_p, jj_p, kkl, ctx_idx, gmap_idx, jjm = self._prepare_update(ii, jj, kk, E_pad)
-        patches_win = self._patch_window(k0)
+        k0, KWIN, aux, ii_p, jj_p, kkl, ctx_idx, gmap_idx, jjm = self._prepare_update(ii, jj, kk, E_pad)
+        patches_win, k0 = self._patch_window(k0, KWIN)
 
         if self.update_override is not None:
             coords = transform(
@@ -351,12 +528,12 @@ class SLAM:
 
         net = jnp.zeros((E_pad, self.DIM), pg.net.dtype)
         wm = jnp.ones((E_pad, 2), jnp.float32)
-        _, _, _, _, _, delta_norm = update_step(
-            self.params, self.model, pg.poses_, patches_win, pg.intrinsics_,
+        _, _, _, _, _, delta_norm, _ = update_step(
+            self.cparams, self.model, pg.poses_, patches_win, pg.intrinsics_,
             pg.imap_, pg.gmap_, pg.fmap1_, pg.fmap2_,
             net, wm, ii_p, jj_p, kkl, ctx_idx, gmap_idx, jjm,
-            aux, 1, float(self.ht4), float(self.wd4),
-            NW=self.NW, KWIN=self.KWIN, iterations=0, is_cdv=self.is_cdv,
+            aux, 1, float(self.ht4), float(self.wd4), -1, -1,
+            NW=self.NW, KWIN=KWIN, iterations=0, is_cdv=self.is_cdv,
         )
         return float(jnp.quantile(delta_norm[:M], 0.5))
 
@@ -370,8 +547,8 @@ class SLAM:
             return 0.0
         ii, jj, kk = pg.ii[sel], pg.jj[sel], pg.kk[sel]
         E_pad = pg.bucket(len(ii))
-        k0, aux, ii_p, jj_p, kkl, *_ = self._prepare_update(ii, jj, kk, E_pad)
-        patches_win = self._patch_window(k0)
+        k0, KWIN, aux, ii_p, jj_p, kkl, *_ = self._prepare_update(ii, jj, kk, E_pad)
+        patches_win, k0 = self._patch_window(k0, KWIN)
         m = motionmag(pg.poses_, patches_win, pg.intrinsics_, ii_p, jj_p, kkl, aux.mask)
         return float(m)
 
@@ -380,7 +557,11 @@ class SLAM:
         pg = self.pg
         i = pg.n - cfg.KEYFRAME_INDEX - 1
         j = pg.n - cfg.KEYFRAME_INDEX + 1
-        m = self.motionmag(i, j) + self.motionmag(j, i)
+        mm = getattr(self, "_mm_cache", None)
+        if mm is not None and mm[0] == i and mm[1] == j:
+            m = float(np.asarray(mm[2]).sum())
+        else:
+            m = self.motionmag(i, j) + self.motionmag(j, i)
 
         if m / 2 < cfg.KEYFRAME_THRESH:
             k = pg.n - cfg.KEYFRAME_INDEX
@@ -406,11 +587,25 @@ class SLAM:
 
     def _shift_buffers(self, k):
         """Delete frame k: shift frame rows k..n-1 left by one
-        (reference slam.py:431-441)."""
+        (reference slam.py:431-441). Fixed-span fused kernel when k is the
+        steady-state keyframe slot; generic gather fallback otherwise."""
         pg = self.pg
         n, M, N = pg.n, self.M, self.N
+        span = n - 1 - k
+        pg.tstamps_[k : n - 1] = pg.tstamps_[k + 1 : n]
+        pg.colors_[k : n - 1] = pg.colors_[k + 1 : n]
+        pg.seg_[k : n - 1] = pg.seg_[k + 1 : n]
 
-        # frame-major buffers
+        if span == self.cfg.KEYFRAME_INDEX - 1:
+            (pg.poses_, pg.patches_, pg.intrinsics_, pg.imap_, pg.gmap_,
+             pg.fmap1_, pg.fmap2_) = remove_keyframe_shift(
+                pg.poses_, pg.patches_, pg.intrinsics_, pg.imap_, pg.gmap_,
+                pg.fmap1_, pg.fmap2_, k, n,
+                SPAN=self.cfg.KEYFRAME_INDEX - 1, M=M,
+                pmem=self.pmem, mem=self.mem,
+            )
+            return
+
         fidx = np.arange(N)
         fidx[k : n - 1] = fidx[k + 1 : n]
         fidx_j = jnp.asarray(fidx)
@@ -418,11 +613,6 @@ class SLAM:
         pg.intrinsics_ = gather_rows(pg.intrinsics_, fidx_j)
         pidx = (fidx[:, None] * M + np.arange(M)[None, :]).reshape(-1)
         pg.patches_ = gather_rows(pg.patches_, jnp.asarray(pidx))
-        pg.tstamps_[k : n - 1] = pg.tstamps_[k + 1 : n]
-        pg.colors_[k : n - 1] = pg.colors_[k + 1 : n]
-        pg.seg_[k : n - 1] = pg.seg_[k + 1 : n]
-
-        # ring buffers: slot i%pmem <- slot (i+1)%pmem for i in [k, n-1)
         ridx = np.arange(self.pmem)
         for i in range(k, n - 1):
             ridx[i % self.pmem] = (i + 1) % self.pmem
@@ -449,43 +639,24 @@ class SLAM:
                 f'"--opts BUFFER_SIZE={self.N*2}"'
             )
 
-        img = self.preprocess(np.asarray(image))
-        self.key, k1 = jax.random.split(self.key)
-        f1, f2, gmap_row, ictx_row, clr, patch_row = self._process_frame(img, k1)
-
-        # --- state insert ---
-        self.tlist.append(tstamp)
-        pg.tstamps_[n] = pg.counter
-        pg.intrinsics_ = pg.intrinsics_.at[n].set(jnp.asarray(intrinsics) / self.RES)
-        clr_np = np.asarray(clr)
-        pg.colors_[n] = np.clip((clr_np[:, [2, 1, 0]] + 0.5) * (255.0 / 2), 0, 255).astype(np.uint8)
-
-        if n > 1 and cfg.MOTION_MODEL == "DAMPED_LINEAR":
-            *_, a, b, c = [1] * 3 + self.tlist
-            fac = (c - b) / max(b - a, 1e-9)
-            pg.poses_ = motion_extrapolate(pg.poses_, n, float(fac), cfg.MOTION_DAMPING)
-        elif n > 0:
-            pg.poses_ = pg.poses_.at[n].set(pg.poses_[n - 1])
-
-        # depth init (reference slam.py:668-676)
-        self.key, k2 = jax.random.split(self.key)
-        if self.is_initialized:
-            s = median_depth(pg.patches_.reshape(self.N, M, 3, self.P, self.P), n)
-            d0 = jnp.broadcast_to(s, (M, self.P, self.P))
-        else:
-            d0 = jax.random.uniform(k2, (M, 1, 1))
-            d0 = jnp.broadcast_to(d0, (M, self.P, self.P))
-        patch_row = patch_row.at[:, 2].set(d0)
-        pg.patches_ = jax.lax.dynamic_update_slice(
-            pg.patches_, patch_row, (n * M, 0, 0, 0)
-        )
-
-        # ring buffers
-        slot_p = (n % self.pmem) * M
-        pg.imap_ = jax.lax.dynamic_update_slice(pg.imap_, ictx_row, (slot_p, 0))
-        pg.gmap_ = jax.lax.dynamic_update_slice(pg.gmap_, gmap_row, (slot_p, 0, 0, 0))
-        pg.fmap1_ = jax.lax.dynamic_update_slice(pg.fmap1_, f1[None], (n % self.mem, 0, 0, 0))
-        pg.fmap2_ = jax.lax.dynamic_update_slice(pg.fmap2_, f2[None], (n % self.mem, 0, 0, 0))
+        with Timer("patch", enabled=self.enable_timing):
+            self.key, k1 = jax.random.split(self.key)
+            self.tlist.append(tstamp)
+            pg.tstamps_[n] = pg.counter
+            if n > 1 and cfg.MOTION_MODEL == "DAMPED_LINEAR":
+                *_, a, b, c = [1] * 3 + self.tlist
+                fac = float((c - b) / max(b - a, 1e-9))
+            else:
+                fac = 0.0
+            clr = self._process_frame(
+                jnp.asarray(np.asarray(image)), k1, fac,
+                self.is_initialized, jnp.asarray(intrinsics) / self.RES,
+            )
+            # colors stay on device (pulled once at terminate / by the viewer)
+            pg.colors_dev = getattr(pg, "colors_dev", jnp.zeros((self.N, self.M, 3)))
+            pg.colors_dev = pg.colors_dev.at[n].set(clr)
+            if self.enable_timing:
+                jax.block_until_ready(pg.poses_)
 
         pg.counter += 1
 
@@ -496,6 +667,14 @@ class SLAM:
 
         pg.n += 1
         pg.m += M
+
+        if cfg.LOOP_CLOSURE:
+            if pg.n - self.last_global_ba >= cfg.GLOBAL_OPT_FREQ:
+                from ..loop.proximity import edges_loop
+                lkk, ljj = edges_loop(pg, cfg)
+                if len(lkk) > 0:
+                    self.last_global_ba = pg.n
+                    self.pg.append_edges(lkk // M, ljj, lkk)
 
         # add forward and backward factors
         kf, jf = self._edges_forw()
@@ -508,8 +687,14 @@ class SLAM:
             for _ in range(12):
                 self.update()
         elif self.is_initialized:
-            self.update()
-            self.keyframe()
+            with Timer("update", enabled=self.enable_timing):
+                self.update()
+                if self.enable_timing:
+                    jax.block_until_ready(pg.poses_)
+            with Timer("keyframe", enabled=self.enable_timing):
+                self.keyframe()
+                if self.enable_timing:
+                    jax.block_until_ready(pg.poses_)
 
         return "Is keyframe"
 
@@ -531,10 +716,18 @@ class SLAM:
             return poses, np.array(self.tlist, np.float64)
 
         self.terminating = True
+        if self.cfg.LOOP_CLOSURE:
+            from ..loop.proximity import edges_loop
+            lkk, ljj = edges_loop(pg, self.cfg)
+            if len(lkk) > 0:
+                self.pg.append_edges(lkk // self.M, ljj, lkk)
         for _ in range(12):
             self.ran_global_ba[pg.n] = False
             self.update()
 
+        if hasattr(pg, "colors_dev"):
+            c = np.asarray(pg.colors_dev)
+            pg.colors_[:] = np.clip((c[:, :, [2, 1, 0]] + 0.5) * (255.0 / 2), 0, 255).astype(np.uint8)
         self.traj = {}
         poses_np = np.asarray(pg.poses_)
         for i in range(pg.n):

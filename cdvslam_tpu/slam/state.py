@@ -16,7 +16,8 @@ import jax.numpy as jnp
 class PatchGraph:
     """State container (device buffers + host mirrors)."""
 
-    def __init__(self, cfg, P, DIM, DIMF, pmem, mem, ht4, wd4, dtype=jnp.float32):
+    def __init__(self, cfg, P, DIM, DIMF, pmem, mem, ht4, wd4, dtype=jnp.float32,
+                 fdtype=None):
         self.cfg = cfg
         self.P = P
         self.DIM = DIM
@@ -25,6 +26,8 @@ class PatchGraph:
         self.pmem = pmem
         self.mem = mem
 
+        fdtype = fdtype or dtype
+        self.fdtype = fdtype
         M, N = self.M, self.N
         self.n = 0      # number of keyframes
         self.m = 0      # number of patches
@@ -40,11 +43,11 @@ class PatchGraph:
         self.seg_ = np.zeros((N, M), np.uint8)
         self.scale_ = jnp.zeros(N, dtype)
 
-        # feature ring buffers
-        self.imap_ = jnp.zeros((pmem * M, DIM), dtype)
-        self.gmap_ = jnp.zeros((pmem * M, DIMF, P, P), dtype)
-        self.fmap1_ = jnp.zeros((mem, DIMF, ht4, wd4), dtype)
-        self.fmap2_ = jnp.zeros((mem, DIMF, ht4 // 4, wd4 // 4), dtype)
+        # feature ring buffers (network compute dtype, e.g. bf16)
+        self.imap_ = jnp.zeros((pmem * M, DIM), fdtype)
+        self.gmap_ = jnp.zeros((pmem * M, DIMF, P, P), fdtype)
+        self.fmap1_ = jnp.zeros((mem, DIMF, ht4, wd4), fdtype)
+        self.fmap2_ = jnp.zeros((mem, DIMF, ht4 // 4, wd4 // 4), fdtype)
 
         # host edge lists (active)
         self.ii = np.zeros(0, np.int64)
@@ -52,7 +55,7 @@ class PatchGraph:
         self.kk = np.zeros(0, np.int64)
         # device per-edge state, bucket-padded, aligned with host order
         self.cap = 0
-        self.net = jnp.zeros((0, DIM), dtype)
+        self.net = jnp.zeros((0, DIM), fdtype)
         self.target = jnp.zeros((0, 2), dtype)
         self.weight = jnp.zeros((0, 2), dtype)
 
@@ -117,13 +120,12 @@ class PatchGraph:
         self.jj = self.jj[~drop_mask]
         self.kk = self.kk[~drop_mask]
         # compact device state: gather survivors to the front, zero the tail
+        from .kernels import compact_edge_state
         idx = np.zeros(self.cap, np.int64)
         idx[: len(keep)] = keep
-        gather = jnp.asarray(idx)
-        live = jnp.arange(self.cap) < len(keep)
-        self.net = jnp.where(live[:, None], jnp.take(self.net, gather, axis=0), 0.0)
-        self.target = jnp.where(live[:, None], jnp.take(self.target, gather, axis=0), 0.0)
-        self.weight = jnp.where(live[:, None], jnp.take(self.weight, gather, axis=0), 0.0)
+        self.net, self.target, self.weight = compact_edge_state(
+            self.net, self.target, self.weight, jnp.asarray(idx), len(keep)
+        )
 
     def reindex_after_removal(self, k):
         """Shift frame indices after deleting keyframe k

@@ -19,7 +19,7 @@ from cdvslam_tpu.lie import SE3, se3_inv, se3_mul
 from cdvslam_tpu.geom import transform
 
 
-def make_gt_poses(F, motion="orbit", step=0.15, seed=0, orbit_r=1.0):
+def make_gt_poses(F, motion="orbit", step=0.15, seed=0, orbit_r=1.0, yaw_factor=0.6):
     """World->camera SE3 poses, (F, 7) numpy.
 
     Default 'orbit': the camera circles inside the scene sphere at unit
@@ -36,10 +36,13 @@ def make_gt_poses(F, motion="orbit", step=0.15, seed=0, orbit_r=1.0):
             th = step * f
             C = np.array([orbit_r * np.sin(th), 0.12 * np.sin(0.5 * th),
                           orbit_r * (1 - np.cos(th))])
-            yaw = 0.6 * th
+            # yaw_factor=1.0 makes the camera yaw with the orbit (tangent),
+            # so a full circle is a true loop (frame f == frame f + 2*pi/step);
+            # smaller factors give sideways-looking, higher-parallax views
+            yaw = yaw_factor * th
             pitch = 0.05 * np.sin(0.8 * th)
             q = np.asarray(
-                se3_exp(jnp.asarray([0, 0, 0, pitch, yaw, 0.02 * th], jnp.float32))
+                se3_exp(jnp.asarray([0, 0, 0, pitch, yaw, 0.0], jnp.float32))
             )[3:7]
             from cdvslam_tpu.lie.quaternion import qrot
             t = -np.asarray(qrot(jnp.asarray(q)[None], jnp.asarray(C)[None]))[0]
