@@ -19,3 +19,17 @@ Layer map (mirrors reference SURVEY.md section 1):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: first compiles of the big kernels are
+# expensive (especially with remote compilation); cache them across runs.
+import os as _os
+
+_cache_dir = _os.environ.get("CDVSLAM_JAX_CACHE", "/tmp/cdvslam_jax_cache")
+try:
+    import jax as _jax
+
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover
+    pass

@@ -66,6 +66,7 @@ _C = CfgNode(
     GLOBAL_OPT_FREQ=15,
     CLASSIC_LOOP_CLOSURE=False,
     LOOP_RETR_THRESH=0.04,
+    LOOP_RETR_RADIUS=50,
     SEG_HEAD="",
     DEPTH_HEAD="",
     FILTER_DYNAMIC_CLASS=False,

@@ -19,7 +19,15 @@ from ..ba import ba_solve, INFERENCE_PARAMS
 from ..geom import transform, flow_mag, point_cloud
 from ..lie import SE3, se3_exp, se3_inv, se3_log, se3_mul
 from ..models.update import UpdateAux
-from ..ops import corr as corr_op
+from ..ops import corr as _corr_xla
+
+
+def corr_op(gmap, fmap, coords, ii, jj, radius=3):
+    """Pallas kernel on TPU; XLA gather fallback elsewhere."""
+    if jax.default_backend() in ("tpu", "axon"):
+        from ..ops.corr_pallas import corr_pallas
+        return corr_pallas(gmap, fmap, coords, ii, jj, radius=radius)
+    return _corr_xla(gmap, fmap, coords, ii, jj, radius=radius)
 
 
 # ---------------------------------------------------------------------------

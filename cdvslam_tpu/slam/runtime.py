@@ -94,6 +94,15 @@ class SLAM:
         self.terminating = False
         self.ran_global_ba = np.zeros(100000, dtype=bool)
 
+        self.long_term_lc = None
+        if self.cfg.CLASSIC_LOOP_CLOSURE:
+            try:
+                from ..loop.long_term import LongTermLoopClosure
+                self.long_term_lc = LongTermLoopClosure(self.cfg, self)
+            except Exception as e:
+                self.cfg.CLASSIC_LOOP_CLOSURE = False
+                warn(f"classical loop closure unavailable: {e}")
+
         if params is not None:
             self.params = params
         else:
@@ -442,7 +451,7 @@ class SLAM:
         pg.patches_ = pg.patches_.at[: n * M, 2].divide(s)
         pg.poses_ = pg.poses_.at[:n, :3].multiply(s)
         for tkey, (tt0, dP) in list(pg.delta.items()):
-            dP = np.asarray(dP, np.float32).copy()
+            dP = np.asarray(dP).astype(np.float32).copy()
             dP[:3] *= s
             pg.delta[tkey] = (tt0, dP)
         from ..lie import se3_inv as _inv, se3_mul as _mul
@@ -567,8 +576,9 @@ class SLAM:
             k = pg.n - cfg.KEYFRAME_INDEX
             t0 = pg.tstamps_[k - 1]
             t1 = pg.tstamps_[k]
+            # keep dP on device; pulled lazily at terminate/normalize
             dP = se3_mul(pg.poses_[k], se3_inv(pg.poses_[k - 1]))
-            pg.delta[int(t1)] = (int(t0), np.asarray(dP))
+            pg.delta[int(t1)] = (int(t0), dP)
 
             to_remove = (pg.ii == k) | (pg.jj == k)
             pg.remove_edges(to_remove, store=False)
@@ -639,6 +649,15 @@ class SLAM:
                 f'"--opts BUFFER_SIZE={self.N*2}"'
             )
 
+        if getattr(self, "_pending_keyframe", False):
+            self._pending_keyframe = False
+            with Timer("keyframe", enabled=self.enable_timing):
+                self.keyframe()
+            n = pg.n
+
+        if self.long_term_lc is not None:
+            self.long_term_lc(image, n)
+
         with Timer("patch", enabled=self.enable_timing):
             self.key, k1 = jax.random.split(self.key)
             self.tlist.append(tstamp)
@@ -686,15 +705,26 @@ class SLAM:
             self.is_initialized = True
             for _ in range(12):
                 self.update()
+            if self.long_term_lc is not None:
+                self.long_term_lc.attempt_loop_closure(pg.n)
+                self.long_term_lc.lc_callback()
         elif self.is_initialized:
             with Timer("update", enabled=self.enable_timing):
                 self.update()
                 if self.enable_timing:
                     jax.block_until_ready(pg.poses_)
-            with Timer("keyframe", enabled=self.enable_timing):
-                self.keyframe()
-                if self.enable_timing:
-                    jax.block_until_ready(pg.poses_)
+            # keyframe decision deferred to the start of the next __call__
+            # so the motion-magnitude device->host pull overlaps the next
+            # frame's feature extraction (nothing happens between the end
+            # of this frame and the start of the next, so the operation
+            # order is identical to the reference's update->keyframe)
+            self._pending_keyframe = True
+            if self.long_term_lc is not None:
+                try:
+                    self.long_term_lc.attempt_loop_closure(pg.n)
+                    self.long_term_lc.lc_callback()
+                except IndexError as e:
+                    print(e)
 
         return "Is keyframe"
 
@@ -703,7 +733,7 @@ class SLAM:
         if t in self.traj:
             return self.traj[t]
         t0, dP = self.pg.delta[t]
-        pose = np.asarray(se3_mul(jnp.asarray(dP), jnp.asarray(self.get_pose(t0))))
+        pose = np.asarray(se3_mul(jnp.asarray(np.asarray(dP)), jnp.asarray(self.get_pose(t0))))
         if self.terminating:
             self.traj[t] = pose
         return pose
@@ -716,6 +746,11 @@ class SLAM:
             return poses, np.array(self.tlist, np.float64)
 
         self.terminating = True
+        if getattr(self, "_pending_keyframe", False):
+            self._pending_keyframe = False
+            self.keyframe()
+        if self.long_term_lc is not None:
+            self.long_term_lc.terminate(pg.n)
         if self.cfg.LOOP_CLOSURE:
             from ..loop.proximity import edges_loop
             lkk, ljj = edges_loop(pg, self.cfg)

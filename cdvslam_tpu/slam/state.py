@@ -63,8 +63,9 @@ class PatchGraph:
         self.ii_inac = np.zeros(0, np.int64)
         self.jj_inac = np.zeros(0, np.int64)
         self.kk_inac = np.zeros(0, np.int64)
-        self.target_inac = np.zeros((0, 2), np.float32)
-        self.weight_inac = np.zeros((0, 2), np.float32)
+        self._target_inac = np.zeros((0, 2), np.float32)
+        self._weight_inac = np.zeros((0, 2), np.float32)
+        self._inac_pending = []   # deferred (device target, weight, mask)
 
         # relative poses of removed (non-key) frames: t -> (t0, dP 7-vec np)
         self.delta = {}
@@ -108,13 +109,14 @@ class PatchGraph:
         if not drop_mask.any():
             return
         if store:
-            tgt = np.asarray(self.target[: self.E])
-            wgt = np.asarray(self.weight[: self.E])
+            # defer the device->host pull: stash the (device array, mask)
+            # pair; materialized lazily by consumers (global BA)
             self.ii_inac = np.concatenate([self.ii_inac, self.ii[drop_mask]])
             self.jj_inac = np.concatenate([self.jj_inac, self.jj[drop_mask]])
             self.kk_inac = np.concatenate([self.kk_inac, self.kk[drop_mask]])
-            self.target_inac = np.concatenate([self.target_inac, tgt[drop_mask]])
-            self.weight_inac = np.concatenate([self.weight_inac, wgt[drop_mask]])
+            self._inac_pending.append(
+                (self.target[: self.E], self.weight[: self.E], drop_mask.copy())
+            )
         keep = np.nonzero(~drop_mask)[0]
         self.ii = self.ii[~drop_mask]
         self.jj = self.jj[~drop_mask]
@@ -137,3 +139,27 @@ class PatchGraph:
         self.kk_inac = np.where(self.ii_inac > k, self.kk_inac - M, self.kk_inac)
         self.ii_inac = np.where(self.ii_inac > k, self.ii_inac - 1, self.ii_inac)
         self.jj_inac = np.where(self.jj_inac > k, self.jj_inac - 1, self.jj_inac)
+
+    def _flush_inac(self):
+        """Materialize deferred inactive-edge targets/weights (host)."""
+        if not self._inac_pending:
+            return
+        parts_t, parts_w = [self._target_inac], [self._weight_inac]
+        for tgt_dev, wgt_dev, mask in self._inac_pending:
+            t_np = np.asarray(tgt_dev)[mask]
+            w_np = np.asarray(wgt_dev)[mask]
+            parts_t.append(t_np.astype(np.float32))
+            parts_w.append(w_np.astype(np.float32))
+        self._target_inac = np.concatenate(parts_t)
+        self._weight_inac = np.concatenate(parts_w)
+        self._inac_pending = []
+
+    @property
+    def target_inac(self):
+        self._flush_inac()
+        return self._target_inac
+
+    @property
+    def weight_inac(self):
+        self._flush_inac()
+        return self._weight_inac

@@ -129,3 +129,31 @@ def test_neighbors_matches_reference_semantics():
     assert ix[3] == 4 and jx[3] == -1
     # singleton
     assert ix[5] == -1 and jx[5] == -1
+
+
+def test_corr_pallas_interpret_matches_xla():
+    """Pallas kernel parity vs the XLA op (interpret mode on CPU)."""
+    from unittest import mock
+    from jax.experimental import pallas as pl
+    import cdvslam_tpu.ops.corr_pallas as cp
+
+    rng = np.random.RandomState(5)
+    K, C, P, NF, H, W, E, R = 6, 8, 3, 4, 16, 20, 10, 2
+    gmap = jnp.asarray(rng.randn(1, K, C, P, P), jnp.float32)
+    fmap = jnp.asarray(rng.randn(1, NF, C, H, W), jnp.float32)
+    coords = jnp.asarray(np.stack(
+        [rng.uniform(-2, W + 2, (1, E, P, P)), rng.uniform(-2, H + 2, (1, E, P, P))],
+        axis=2), jnp.float32)
+    ii = jnp.asarray(rng.randint(0, K, E), jnp.int32)
+    jj = jnp.asarray(rng.randint(0, NF, E), jnp.int32)
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*a, **kw):
+        kw["interpret"] = True
+        return orig_call(*a, **kw)
+
+    with mock.patch.object(cp.pl, "pallas_call", interp_call):
+        got = cp.corr_pallas(gmap, fmap, coords, ii, jj, radius=R)
+    ref = corr(gmap, fmap, coords, ii, jj, radius=R, chunk=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-4)
