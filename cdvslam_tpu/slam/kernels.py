@@ -50,34 +50,51 @@ def corr_features(gmap_buf, fmap1, fmap2, coords_nchw, gmap_idx, jjm, radius=3):
 
 @partial(
     jax.jit,
-    static_argnames=("model", "NW", "KWIN", "iterations", "is_cdv", "res"),
+    static_argnames=("model", "NW", "KWIN", "EPAD", "iterations", "is_cdv", "res"),
+    donate_argnums=(2, 3, 9, 10, 11),
 )
 def update_step(
     params,
     model,                      # static: flax module def
-    poses,                      # (N, 7)
-    patches_win,                # (KWIN, 3, P, P)
+    poses,                      # (N, 7)                        [donated]
+    patches_full,               # (N*M, 3, P, P) FULL buffer    [donated]
     intr_full,                  # (N, 4) at 1/RES scale
     imap_buf,                   # (pmem*M, DIM)
     gmap_buf,                   # (pmem*M, DIMF, P, P)
     fmap1,                      # (mem, DIMF, h, w)
     fmap2,                      # (mem, DIMF, h/4, w/4)
-    net,                        # (E_pad, DIM) hidden state
+    net_full,                   # (cap, DIM) hidden state       [donated]
+    target_full,                # (cap, 2)                      [donated]
+    weight_full,                # (cap, 2)                      [donated]
     weight_mul,                 # (E_pad, 2) dynamic-class down-weighting
     ii, jj, kk_local,           # (E_pad,) int32
     ctx_idx, gmap_idx, jjm,     # (E_pad,) ring-buffer indices
     aux: UpdateAux,
     t0,                         # dynamic scalar
+    k0,                         # dynamic scalar: patch-window base row
+    net_valid,                  # dynamic: net rows >= this are stale -> 0
     ht4, wd4,                   # dynamic scalars: fmap dims (for posenc norm)
     mm_i=-1, mm_j=-1,           # keyframe motion-mag frame pair (dynamic)
     *,
     NW: int,
     KWIN: int,
+    EPAD: int,
     iterations: int = 2,
     is_cdv: bool = True,
     res: int = 4,
 ):
-    """One SLAM update: returns (poses, patches_win, net, target, weight, delta)."""
+    """One fully-fused SLAM update. Slices the patch window and per-edge
+    state out of the full (donated) buffers, runs
+    reproject->corr->net.update->BA, and writes everything back -- a
+    single device dispatch with no host-side eager ops (each eager op
+    costs ~25 ms through the remote-device transport)."""
+    patches_win = jax.lax.dynamic_slice(
+        patches_full, (k0, 0, 0, 0),
+        (KWIN,) + patches_full.shape[1:],
+    )
+    net = jax.lax.dynamic_slice(net_full, (0, 0), (EPAD, net_full.shape[1]))
+    # zero hidden state of newly-appended edges
+    net = jnp.where((jnp.arange(EPAD) < net_valid)[:, None], net, 0.0)
     E = ii.shape[0]
     P = patches_win.shape[-1]
 
@@ -137,7 +154,15 @@ def update_step(
     ])
 
     delta_norm = jnp.linalg.norm(d[0].astype(jnp.float32), axis=-1)
-    return poses, patches_win, net_new[0], target, w[0], delta_norm, mm
+
+    # ---- write back into the full donated buffers ----
+    patches_full = jax.lax.dynamic_update_slice(
+        patches_full, patches_win, (k0, 0, 0, 0))
+    net_full = jax.lax.dynamic_update_slice(
+        net_full, net_new[0].astype(net_full.dtype), (0, 0))
+    target_full = jax.lax.dynamic_update_slice(target_full, target, (0, 0))
+    weight_full = jax.lax.dynamic_update_slice(weight_full, w[0], (0, 0))
+    return poses, patches_full, net_full, target_full, weight_full, delta_norm, mm
 
 
 # ---------------------------------------------------------------------------
@@ -269,3 +294,11 @@ def compact_edge_state(net, target, weight, gather, nkeep):
     target = jnp.where(live, jnp.take(target, gather, axis=0, mode="clip"), 0.0)
     weight = jnp.where(live, jnp.take(weight, gather, axis=0, mode="clip"), 0.0)
     return net, target, weight
+
+
+@jax.jit
+def relative_pose_row(poses, k):
+    """dP = pose_k * pose_{k-1}^-1 as one dispatch (keyframe removal)."""
+    a = jnp.take(poses, k, axis=0, mode="clip")
+    b = jnp.take(poses, jnp.maximum(k - 1, 0), axis=0, mode="clip")
+    return se3_mul(a, se3_inv(b))

@@ -91,6 +91,7 @@ class SLAM:
 
         self.tlist = []
         self.traj = {}
+        self._ones_cache = {}
         self.terminating = False
         self.ran_global_ba = np.zeros(100000, dtype=bool)
 
@@ -179,10 +180,11 @@ class SLAM:
             from ..ops.patchify import patchify as patchify_op
             from ..models.patchifier import coords_grid_with_index
 
-            @partial(jax.jit, donate_argnums=(3, 4, 5, 6, 7, 8, 9))
-            def frame_fn(params, image_u8, key, poses, patches_buf, intr_buf,
-                         imap_buf, gmap_buf, f1buf, f2buf, n, fac,
+            @partial(jax.jit, donate_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+            def frame_fn(params, image_u8, seed, poses, patches_buf, intr_buf,
+                         imap_buf, gmap_buf, f1buf, f2buf, colors_buf, n, fac,
                          initialized, intr_row):
+                key = jax.random.fold_in(jax.random.PRNGKey(7), seed)
                 img = image_u8.astype(jnp.float32)
                 image_f32 = (img / 255.0)[None] if simple else (2.0 * (img / 255.0) - 0.5)[None]
                 image = image_f32.astype(cdtype)
@@ -256,19 +258,20 @@ class SLAM:
                 gmap_buf = jax.lax.dynamic_update_slice(gmap_buf, gmap[0], (slot_p, 0, 0, 0))
                 f1buf = jax.lax.dynamic_update_slice(f1buf, f1[None], (n % mem, 0, 0, 0))
                 f2buf = jax.lax.dynamic_update_slice(f2buf, f2[None], (n % mem, 0, 0, 0))
+                colors_buf = colors_buf.at[n].set(clr[0].astype(colors_buf.dtype))
 
-                return poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf, f2buf, clr[0]
+                return (poses, patches_buf, intr_buf, imap_buf, gmap_buf,
+                        f1buf, f2buf, colors_buf)
 
             self._frame_fn = frame_fn
 
         out = self._frame_fn(
             self.cparams, image_u8, key, pg.poses_, pg.patches_, pg.intrinsics_,
-            pg.imap_, pg.gmap_, pg.fmap1_, pg.fmap2_, pg.n, fac,
+            pg.imap_, pg.gmap_, pg.fmap1_, pg.fmap2_, pg.colors_dev, pg.n, fac,
             initialized, intr_row,
         )
         (pg.poses_, pg.patches_, pg.intrinsics_, pg.imap_, pg.gmap_,
-         pg.fmap1_, pg.fmap2_, clr) = out
-        return clr
+         pg.fmap1_, pg.fmap2_, pg.colors_dev) = out
 
     # ------------------------------------------------------------------
     def preprocess(self, image):
@@ -362,8 +365,10 @@ class SLAM:
         k0, KWIN, aux, ii_p, jj_p, kkl, ctx_idx, gmap_idx, jjm = self._prepare_update(
             pg.ii, pg.jj, pg.kk, E_pad
         )
-        patches_win, k0 = self._patch_window(k0, KWIN)
-        kkl = jnp.asarray(np.concatenate([pg.kk - k0, np.zeros(E_pad - E, np.int64)]), jnp.int32)
+        k0 = min(k0, self.N * self.M - KWIN)
+        kkl = jnp.asarray(
+            np.concatenate([pg.kk - k0, np.zeros(E_pad - E, np.int64)]), jnp.int32
+        )
         t0 = max(pg.n - self.cfg.OPTIMIZATION_WINDOW, 1) if self.is_initialized else 1
 
         # long-range (loop closure) edges present -> global BA this round
@@ -371,43 +376,51 @@ class SLAM:
             and not self.ran_global_ba[pg.n]
         ba_iters = 0 if long_range else 2
 
-        weight_mul = jnp.ones((E_pad, 2), jnp.float32)
         if self.cfg.FILTER_DYNAMIC_CLASS and hasattr(self, "filt_index"):
             filt = np.isin(self.pg.seg_.reshape(-1)[np.clip(pg.kk, 0, None)], self.filt_index)
             mul = np.where(filt, 1e-4, 1.0).astype(np.float32)
             mul = np.concatenate([mul, np.ones(E_pad - E, np.float32)])
             weight_mul = jnp.asarray(np.stack([mul, mul], -1))
-
-        net = jax.lax.dynamic_slice(pg.net, (0, 0), (E_pad, self.DIM))
+        else:
+            weight_mul = self._ones_cache.get(E_pad)
+            if weight_mul is None:
+                weight_mul = jnp.ones((E_pad, 2), jnp.float32)
+                self._ones_cache[E_pad] = weight_mul
 
         mi = pg.n - self.cfg.KEYFRAME_INDEX - 1
         mj = pg.n - self.cfg.KEYFRAME_INDEX + 1
         if self.update_override is not None:
+            patches_win, _ = self._patch_window(k0, KWIN)
+            net = jax.lax.dynamic_slice(pg.net, (0, 0), (E_pad, self.DIM))
+            net = jnp.where((jnp.arange(E_pad) < pg.net_valid)[:, None], net, 0.0)
             poses, patches_win2, net_new, target, weight, _ = self._override_update(
                 patches_win, net, ii_p, jj_p, kkl, aux, t0, k0, KWIN, ba_iters
             )
             self._mm_cache = None
+            pg.poses_ = poses
+            pg.patches_ = jax.lax.dynamic_update_slice(
+                pg.patches_, patches_win2, (k0, 0, 0, 0)
+            )
+            pg.net = jax.lax.dynamic_update_slice(pg.net, net_new, (0, 0))
+            pg.target = jax.lax.dynamic_update_slice(pg.target, target, (0, 0))
+            pg.weight = jax.lax.dynamic_update_slice(pg.weight, weight, (0, 0))
         else:
-            poses, patches_win2, net_new, target, weight, _, mm = update_step(
-                self.cparams, self.model, pg.poses_, patches_win, pg.intrinsics_,
+            (pg.poses_, pg.patches_, pg.net, pg.target, pg.weight,
+             _, mm) = update_step(
+                self.cparams, self.model, pg.poses_, pg.patches_, pg.intrinsics_,
                 pg.imap_, pg.gmap_, pg.fmap1_, pg.fmap2_,
-                net, weight_mul, ii_p, jj_p, kkl, ctx_idx, gmap_idx, jjm,
-                aux, t0, float(self.ht4), float(self.wd4), mi, mj,
-                NW=self.NW, KWIN=KWIN, iterations=ba_iters, is_cdv=self.is_cdv,
+                pg.net, pg.target, pg.weight,
+                weight_mul, ii_p, jj_p, kkl, ctx_idx, gmap_idx, jjm,
+                aux, t0, k0, pg.net_valid, float(self.ht4), float(self.wd4), mi, mj,
+                NW=self.NW, KWIN=KWIN, EPAD=E_pad, iterations=ba_iters,
+                is_cdv=self.is_cdv,
             )
             try:
                 mm.copy_to_host_async()
             except Exception:
                 pass
             self._mm_cache = (mi, mj, mm)
-
-        pg.poses_ = poses
-        pg.patches_ = jax.lax.dynamic_update_slice(
-            pg.patches_, patches_win2, (k0, 0, 0, 0)
-        )
-        pg.net = jax.lax.dynamic_update_slice(pg.net, net_new, (0, 0))
-        pg.target = jax.lax.dynamic_update_slice(pg.target, target, (0, 0))
-        pg.weight = jax.lax.dynamic_update_slice(pg.weight, weight, (0, 0))
+        pg.net_valid = E
 
         if long_range:
             self._run_global_ba()
@@ -521,9 +534,10 @@ class SLAM:
         ii = kk // M
         E_pad = pg.bucket(M)
         k0, KWIN, aux, ii_p, jj_p, kkl, ctx_idx, gmap_idx, jjm = self._prepare_update(ii, jj, kk, E_pad)
-        patches_win, k0 = self._patch_window(k0, KWIN)
+        k0 = min(k0, self.N * self.M - KWIN)
 
         if self.update_override is not None:
+            patches_win, k0 = self._patch_window(k0, KWIN)
             coords = transform(
                 SE3(pg.poses_[None]), patches_win[None], pg.intrinsics_[None],
                 ii_p, jj_p, kkl,
@@ -535,15 +549,23 @@ class SLAM:
             dn = np.linalg.norm(np.asarray(delta), axis=-1)[:M]
             return float(np.median(dn))
 
+        # probe runs the fused update with zero BA iterations on scratch
+        # per-edge buffers (fresh hidden state, nothing written back)
         net = jnp.zeros((E_pad, self.DIM), pg.net.dtype)
+        tgt = jnp.zeros((E_pad, 2), jnp.float32)
+        wgt = jnp.zeros((E_pad, 2), jnp.float32)
         wm = jnp.ones((E_pad, 2), jnp.float32)
-        _, _, _, _, _, delta_norm, _ = update_step(
-            self.cparams, self.model, pg.poses_, patches_win, pg.intrinsics_,
+        poses, patches, *_rest, delta_norm, _ = update_step(
+            self.cparams, self.model, pg.poses_, pg.patches_, pg.intrinsics_,
             pg.imap_, pg.gmap_, pg.fmap1_, pg.fmap2_,
-            net, wm, ii_p, jj_p, kkl, ctx_idx, gmap_idx, jjm,
-            aux, 1, float(self.ht4), float(self.wd4), -1, -1,
-            NW=self.NW, KWIN=KWIN, iterations=0, is_cdv=self.is_cdv,
+            net, tgt, wgt,
+            wm, ii_p, jj_p, kkl, ctx_idx, gmap_idx, jjm,
+            aux, 1, k0, E_pad, float(self.ht4), float(self.wd4), -1, -1,
+            NW=self.NW, KWIN=KWIN, EPAD=E_pad, iterations=0, is_cdv=self.is_cdv,
         )
+        # donated inputs: re-adopt the (unchanged) returned buffers
+        pg.poses_ = poses
+        pg.patches_ = patches
         return float(jnp.quantile(delta_norm[:M], 0.5))
 
     # ------------------------------------------------------------------
@@ -576,8 +598,9 @@ class SLAM:
             k = pg.n - cfg.KEYFRAME_INDEX
             t0 = pg.tstamps_[k - 1]
             t1 = pg.tstamps_[k]
-            # keep dP on device; pulled lazily at terminate/normalize
-            dP = se3_mul(pg.poses_[k], se3_inv(pg.poses_[k - 1]))
+            # keep dP on device; one fused dispatch; pulled lazily later
+            from .kernels import relative_pose_row
+            dP = relative_pose_row(pg.poses_, k)
             pg.delta[int(t1)] = (int(t0), dP)
 
             to_remove = (pg.ii == k) | (pg.jj == k)
@@ -659,7 +682,7 @@ class SLAM:
             self.long_term_lc(image, n)
 
         with Timer("patch", enabled=self.enable_timing):
-            self.key, k1 = jax.random.split(self.key)
+            k1 = pg.counter  # per-frame seed, folded inside the jit
             self.tlist.append(tstamp)
             pg.tstamps_[n] = pg.counter
             if n > 1 and cfg.MOTION_MODEL == "DAMPED_LINEAR":
@@ -667,13 +690,12 @@ class SLAM:
                 fac = float((c - b) / max(b - a, 1e-9))
             else:
                 fac = 0.0
-            clr = self._process_frame(
+            self._process_frame(
                 jnp.asarray(np.asarray(image)), k1, fac,
-                self.is_initialized, jnp.asarray(intrinsics) / self.RES,
+                self.is_initialized,
+                jnp.asarray(np.asarray(intrinsics, np.float64) / self.RES,
+                            jnp.float32),
             )
-            # colors stay on device (pulled once at terminate / by the viewer)
-            pg.colors_dev = getattr(pg, "colors_dev", jnp.zeros((self.N, self.M, 3)))
-            pg.colors_dev = pg.colors_dev.at[n].set(clr)
             if self.enable_timing:
                 jax.block_until_ready(pg.poses_)
 
@@ -760,7 +782,7 @@ class SLAM:
             self.ran_global_ba[pg.n] = False
             self.update()
 
-        if hasattr(pg, "colors_dev"):
+        if True:
             c = np.asarray(pg.colors_dev)
             pg.colors_[:] = np.clip((c[:, :, [2, 1, 0]] + 0.5) * (255.0 / 2), 0, 255).astype(np.uint8)
         self.traj = {}

@@ -40,6 +40,7 @@ class PatchGraph:
         self.intrinsics_ = jnp.zeros((N, 4), dtype)
         self.points_ = jnp.zeros((N * M, 3), dtype)
         self.colors_ = np.zeros((N, M, 3), np.uint8)
+        self.colors_dev = jnp.zeros((N, M, 3), dtype)
         self.seg_ = np.zeros((N, M), np.uint8)
         self.scale_ = jnp.zeros(N, dtype)
 
@@ -55,6 +56,7 @@ class PatchGraph:
         self.kk = np.zeros(0, np.int64)
         # device per-edge state, bucket-padded, aligned with host order
         self.cap = 0
+        self.net_valid = 0   # net rows >= this are stale (zeroed in-step)
         self.net = jnp.zeros((0, DIM), fdtype)
         self.target = jnp.zeros((0, 2), dtype)
         self.weight = jnp.zeros((0, 2), dtype)
@@ -97,10 +99,8 @@ class PatchGraph:
         self.jj = np.concatenate([self.jj, np.asarray(jj, np.int64)])
         self.kk = np.concatenate([self.kk, np.asarray(kk, np.int64)])
         self._grow(self.bucket(self.E))
-        if E0 < self.E:
-            # zero the newly-occupied slots (they may hold stale values)
-            z = jnp.zeros((self.E - E0, self.DIM), self.net.dtype)
-            self.net = jax.lax.dynamic_update_slice(self.net, z, (E0, 0))
+        # stale rows in [net_valid, E) are zeroed inside the jitted update
+        # step (an eager zeroing op here would cost a device round trip)
 
     def remove_edges(self, drop_mask, store: bool):
         """Remove edges where drop_mask; optionally retire to the inactive
@@ -128,6 +128,7 @@ class PatchGraph:
         self.net, self.target, self.weight = compact_edge_state(
             self.net, self.target, self.weight, jnp.asarray(idx), len(keep)
         )
+        self.net_valid = min(self.net_valid, len(keep)) if False else len(keep)
 
     def reindex_after_removal(self, k):
         """Shift frame indices after deleting keyframe k
