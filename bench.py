@@ -44,11 +44,14 @@ def main():
         slam(f, frames[f % len(frames)], intr)
     jax.block_until_ready(slam.pg.poses_)
 
-    # steady-state throughput: the loop is pipelined (async dispatch), so
-    # block once at the end of the timed window
+    # steady-state throughput: the loop is pipelined (async dispatch +
+    # one-frame upload prefetch), so block once at the end of the window
+    slam.prefetch(frames[WARM % len(frames)])
     t0 = time.perf_counter()
     for f in range(WARM, WARM + TIMED):
-        slam(f, frames[f % len(frames)], intr)
+        img = frames[f % len(frames)]
+        slam.prefetch(frames[(f + 1) % len(frames)])
+        slam(f, img, intr)
     jax.block_until_ready(slam.pg.poses_)
     dt = (time.perf_counter() - t0) / TIMED
 

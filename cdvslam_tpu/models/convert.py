@@ -254,3 +254,27 @@ def load_torch_checkpoint(path, version="cdv"):
         **convert_update_dpv(sd),
     }
     return {"params": params}
+
+
+def load_seg_head(path):
+    """SegHeadFlatten checkpoint (BatchNorm1d + Linear) -> flax variables."""
+    import torch
+
+    sd = {k: v.numpy() for k, v in torch.load(path, map_location="cpu").items()}
+    return {
+        "params": {
+            "bn": {"scale": sd["bn.weight"], "bias": sd["bn.bias"]},
+            "linear": _lin(sd, "linear"),
+        },
+        "batch_stats": {
+            "bn": {"mean": sd["bn.running_mean"], "var": sd["bn.running_var"]},
+        },
+    }
+
+
+def load_depth_head(path):
+    """DepthHeadFlatten checkpoint (Linear) -> flax variables."""
+    import torch
+
+    sd = {k: v.numpy() for k, v in torch.load(path, map_location="cpu").items()}
+    return {"params": {"linear": _lin(sd, "linear")}}

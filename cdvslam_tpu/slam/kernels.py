@@ -302,3 +302,68 @@ def relative_pose_row(poses, k):
     a = jnp.take(poses, k, axis=0, mode="clip")
     b = jnp.take(poses, jnp.maximum(k - 1, 0), axis=0, mode="clip")
     return se3_mul(a, se3_inv(b))
+
+
+# ---------------------------------------------------------------------------
+# monocular-depth scale anchoring (reference slam.py:565-583)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("M", "P"))
+def scale_adjustment(poses, patches, scale_buf, t0, n, w, *, M: int, P: int):
+    """Pull the mean window disparity toward the depth-head anchor.
+
+    Gated on rotation magnitude between the last two keyframes
+    (angle >= 0.04, reference slam.py:568-570). One fused dispatch.
+    """
+    from ..lie import se3_inv as _inv, se3_log as _log, se3_mul as _mul
+
+    P1 = jnp.take(poses, jnp.maximum(n - 2, 0), axis=0)
+    P2 = jnp.take(poses, jnp.maximum(n - 1, 0), axis=0)
+    angle = jnp.linalg.norm(_log(_mul(P1, _inv(P2)))[3:])
+
+    NP = poses.shape[0]
+    fr = jnp.arange(NP)
+    in_win = (fr >= t0) & (fr < n)
+    pk = jnp.arange(patches.shape[0]) // M
+    in_win_k = (pk >= t0) & (pk < n)
+
+    d = patches[:, 2, P // 2, P // 2]
+    s = jnp.sum(jnp.where(in_win_k, d, 0.0)) / jnp.maximum(jnp.sum(in_win_k), 1)
+    anchor = jnp.sum(jnp.where(in_win, scale_buf, 0.0)) / jnp.maximum(jnp.sum(in_win), 1)
+    rate = 1.0 + w * (anchor / jnp.maximum(s, 1e-8) - 1.0)
+    rate = jnp.where(angle < 0.04, 1.0, rate)
+
+    patches = patches.at[:, 2].multiply(
+        jnp.where(in_win_k, rate, 1.0)[:, None, None]
+    )
+
+    # shift camera centers toward the t0-1 anchor by (1 - 1/rate)
+    # (reference slam.py:579-582 operates on inverse-pose translations)
+    inv_all = _inv(poses)
+    c_anchor = jnp.take(inv_all, jnp.maximum(t0 - 1, 0), axis=0)[:3]
+    xyz = inv_all[:, :3]
+    xyz_new = xyz + (1.0 - 1.0 / rate) * (c_anchor[None] - xyz)
+    inv_new = jnp.concatenate([xyz_new, inv_all[:, 3:]], axis=-1)
+    poses_new = _inv(inv_new)
+    poses = jnp.where(in_win[:, None], poses_new, poses)
+    return poses, patches
+
+
+@jax.jit
+def dynamic_class_weight(seg_buf, filt_index, kk):
+    """1e-4 down-weighting of patches whose seg class is dynamic
+    (reference slam.py:585-594)."""
+    seg_flat = seg_buf.reshape(-1)
+    cls = jnp.take(seg_flat, jnp.clip(kk, 0, None), mode="clip")
+    hit = jnp.any(cls[:, None] == filt_index[None, :], axis=1)
+    mul = jnp.where(hit, 1e-4, 1.0).astype(jnp.float32)
+    return jnp.stack([mul, mul], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("SPAN",))
+def shift_rows(buf, k, *, SPAN: int):
+    """Shift rows [k+1, k+1+SPAN) to [k, k+SPAN) (frame deletion)."""
+    src = jax.lax.dynamic_slice(buf, (k + 1,) + (0,) * (buf.ndim - 1),
+                                (SPAN,) + buf.shape[1:])
+    return jax.lax.dynamic_update_slice(buf, src, (k,) + (0,) * (buf.ndim - 1))

@@ -95,6 +95,13 @@ class SLAM:
         self.terminating = False
         self.ran_global_ba = np.zeros(100000, dtype=bool)
 
+        # optional seg/depth heads (reference slam.py:129-183)
+        self.seg_params = None
+        self.depth_params = None
+        self.filt_index = None
+        if self.is_cdv:
+            self._setup_heads()
+
         self.long_term_lc = None
         if self.cfg.CLASSIC_LOOP_CLOSURE:
             try:
@@ -120,9 +127,50 @@ class SLAM:
         else:
             self.cparams = self.params
 
+        self.viewer = None
+        if viz:
+            from ..viz.viewer import SnapshotViewer
+            self.viewer = SnapshotViewer(self)
+
         self._frame_fn = None   # lazily built per network type
 
     # ------------------------------------------------------------------
+    def _setup_heads(self):
+        """Load seg/depth heads from checkpoints when configured; random
+        init when the path is 'random' (for tests)."""
+        from ..models.heads import DepthHeadFlatten, SegHeadFlatten
+
+        cfg = self.cfg
+        if cfg.SEG_HEAD and cfg.SEG_HEAD != "None":
+            self.seg_head = SegHeadFlatten(num_classes=150)
+            if cfg.SEG_HEAD == "random":
+                self.seg_params = self.seg_head.init(
+                    jax.random.PRNGKey(11), jnp.zeros((1, 384)))
+            else:
+                from pathlib import Path
+                if Path(cfg.SEG_HEAD).exists():
+                    from ..models.convert import load_seg_head
+                    self.seg_params = load_seg_head(cfg.SEG_HEAD)
+                else:
+                    warn(f"seg head checkpoint not found: {cfg.SEG_HEAD}")
+            if self.seg_params is not None:
+                from ..models.datamaps import ADE20K_INDEX_FILT
+                self.filt_index = np.asarray(ADE20K_INDEX_FILT, np.uint8)
+        if cfg.DEPTH_HEAD and cfg.DEPTH_HEAD != "None":
+            self.depth_head = DepthHeadFlatten()
+            if cfg.DEPTH_HEAD == "random":
+                self.depth_params = self.depth_head.init(
+                    jax.random.PRNGKey(12), jnp.zeros((1, 768)))
+            else:
+                from pathlib import Path
+                if Path(cfg.DEPTH_HEAD).exists():
+                    from ..models.convert import load_depth_head
+                    self.depth_params = load_depth_head(cfg.DEPTH_HEAD)
+                else:
+                    warn(f"depth head checkpoint not found: {cfg.DEPTH_HEAD}")
+            if self.depth_params is not None:
+                self.scale_factor = self.depth_head.max_depth / 4.0
+
     def _init_params(self):
         img = jnp.zeros((1, self.ht, self.wd, 3))
         k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
@@ -174,6 +222,10 @@ class SLAM:
             upperleft = cfg.CENTROID_SAMPLE_STRAT == "UPPERLEFT"
             simple = getattr(self.model, "simple_preprocess", False)
             cdtype = self.fdtype
+            seg_head = getattr(self, "seg_head", None) if self.seg_params is not None else None
+            seg_params = self.seg_params
+            depth_head = getattr(self, "depth_head", None) if self.depth_params is not None else None
+            depth_params = self.depth_params
             pmem, mem, N = self.pmem, self.mem, self.N
             damping = cfg.MOTION_DAMPING
             from ..lie import se3_exp, se3_inv, se3_log, se3_mul
@@ -182,7 +234,8 @@ class SLAM:
 
             @partial(jax.jit, donate_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
             def frame_fn(params, image_u8, seed, poses, patches_buf, intr_buf,
-                         imap_buf, gmap_buf, f1buf, f2buf, colors_buf, n, fac,
+                         imap_buf, gmap_buf, f1buf, f2buf, colors_buf,
+                         seg_buf, scale_buf, n, fac,
                          initialized, intr_row):
                 key = jax.random.fold_in(jax.random.PRNGKey(7), seed)
                 img = image_u8.astype(jnp.float32)
@@ -206,12 +259,30 @@ class SLAM:
                     ictx = patchify_op(tmap, scale_f2i * coords, 0,
                                        mode="upperleft" if upperleft else "bilinear")[..., 0, 0]
                     ictx = model.apply(params, ictx, method=CDVNet.adapt)
+                    if seg_head is not None:
+                        # per-patch token classification (slam.py:543-552)
+                        logit = seg_head.apply(
+                            seg_params, (ictx[0] * 4.0).astype(jnp.float32))
+                        seg_row = jnp.argmax(logit, axis=-1).astype(jnp.uint8)
+                    else:
+                        seg_row = jnp.zeros((M,), jnp.uint8)
                     gmap = patchify_op(fmap, coords, P // 2, mode="bilinear")
                     img_nchw = image_f32.transpose(0, 3, 1, 2)
                     clr = patchify_op(img_nchw, 4 * (coords + 0.5), 0, mode="bilinear")[..., 0, 0]
                     disps = jnp.ones((nb, hf, wf), jnp.float32)
                     grid = coords_grid_with_index(disps[None])[0]
                     patch_row = patchify_op(grid, coords, P // 2, mode="bilinear")[0]
+                    if depth_head is not None:
+                        # per-patch monocular inverse-depth init
+                        # (reference net_cdv.py:242-252, slam.py:668-670)
+                        tok = jnp.concatenate(
+                            [(ictx[0] * 4.0).astype(jnp.float32),
+                             jnp.broadcast_to(cls.astype(jnp.float32), (M, 384))],
+                            axis=-1)
+                        dpt = depth_head.apply(depth_params, tok)[:, 0]
+                        dinit = 1.0 / jnp.clip(dpt / (80.0 / 4.0), 0.05, None)
+                        patch_row = patch_row.at[:, 2].set(
+                            jnp.broadcast_to(dinit[:, None, None], (M, P, P)))
                 else:
                     fmap, imap = model.apply(params, image, method=VONet.features)
                     nb, _, hf, wf = fmap.shape
@@ -225,6 +296,7 @@ class SLAM:
                     )
                     patch_row = patch_row4[0].astype(jnp.float32)
                     clr = clr.astype(jnp.float32)
+                    seg_row = jnp.zeros((M,), jnp.uint8)
 
                 f1 = fmap[0]
                 f2 = pyramidify(fmap, (4,))[0][0]
@@ -240,7 +312,8 @@ class SLAM:
                 newpose = jnp.where(n > 1, extrap, jnp.where(n > 0, P1, poses[0]))
                 poses = poses.at[n].set(newpose)
 
-                # depth init (slam.py:668-676)
+                # depth init (slam.py:668-676); with a depth head the
+                # head-provided inverse depths are kept as-is
                 i0 = jnp.maximum(n - 3, 0)
                 idx3 = jnp.minimum(i0 + jnp.arange(3), jnp.maximum(n - 1, 0))
                 pflat = patches_buf.reshape(N, M, 3, P, P)
@@ -248,7 +321,9 @@ class SLAM:
                 key2 = jax.random.fold_in(key, 1)
                 drand = jnp.broadcast_to(jax.random.uniform(key2, (M, 1, 1)), (M, P, P))
                 d0 = jnp.where(initialized, jnp.broadcast_to(dmed, (M, P, P)), drand)
-                patch_row = patch_row.astype(jnp.float32).at[:, 2].set(d0)
+                patch_row = patch_row.astype(jnp.float32)
+                if depth_head is None:
+                    patch_row = patch_row.at[:, 2].set(d0)
                 patches_buf = jax.lax.dynamic_update_slice(
                     patches_buf, patch_row, (n * M, 0, 0, 0))
 
@@ -259,19 +334,23 @@ class SLAM:
                 f1buf = jax.lax.dynamic_update_slice(f1buf, f1[None], (n % mem, 0, 0, 0))
                 f2buf = jax.lax.dynamic_update_slice(f2buf, f2[None], (n % mem, 0, 0, 0))
                 colors_buf = colors_buf.at[n].set(clr[0].astype(colors_buf.dtype))
+                seg_buf = seg_buf.at[n].set(seg_row)
+                scale_buf = scale_buf.at[n].set(
+                    jnp.mean(patch_row[:, 2, P // 2, P // 2]))
 
                 return (poses, patches_buf, intr_buf, imap_buf, gmap_buf,
-                        f1buf, f2buf, colors_buf)
+                        f1buf, f2buf, colors_buf, seg_buf, scale_buf)
 
             self._frame_fn = frame_fn
 
         out = self._frame_fn(
             self.cparams, image_u8, key, pg.poses_, pg.patches_, pg.intrinsics_,
-            pg.imap_, pg.gmap_, pg.fmap1_, pg.fmap2_, pg.colors_dev, pg.n, fac,
+            pg.imap_, pg.gmap_, pg.fmap1_, pg.fmap2_, pg.colors_dev,
+            pg.seg_dev, pg.scale_, pg.n, fac,
             initialized, intr_row,
         )
         (pg.poses_, pg.patches_, pg.intrinsics_, pg.imap_, pg.gmap_,
-         pg.fmap1_, pg.fmap2_, pg.colors_dev) = out
+         pg.fmap1_, pg.fmap2_, pg.colors_dev, pg.seg_dev, pg.scale_) = out
 
     # ------------------------------------------------------------------
     def preprocess(self, image):
@@ -376,11 +455,17 @@ class SLAM:
             and not self.ran_global_ba[pg.n]
         ba_iters = 0 if long_range else 2
 
-        if self.cfg.FILTER_DYNAMIC_CLASS and hasattr(self, "filt_index"):
-            filt = np.isin(self.pg.seg_.reshape(-1)[np.clip(pg.kk, 0, None)], self.filt_index)
-            mul = np.where(filt, 1e-4, 1.0).astype(np.float32)
-            mul = np.concatenate([mul, np.ones(E_pad - E, np.float32)])
-            weight_mul = jnp.asarray(np.stack([mul, mul], -1))
+        if self.cfg.FILTER_DYNAMIC_CLASS and self.filt_index is not None:
+            # dynamic-class down-weighting (reference slam.py:585-594),
+            # computed on device from the seg buffer
+            from .kernels import dynamic_class_weight
+            weight_mul = dynamic_class_weight(
+                pg.seg_dev, jnp.asarray(self.filt_index),
+                jnp.asarray(np.concatenate(
+                    [pg.kk, np.zeros(E_pad - E, np.int64)]), jnp.int32),
+            )
+        elif False:
+            pass
         else:
             weight_mul = self._ones_cache.get(E_pad)
             if weight_mul is None:
@@ -424,6 +509,12 @@ class SLAM:
 
         if long_range:
             self._run_global_ba()
+        elif self.depth_params is not None and self.is_initialized:
+            from .kernels import scale_adjustment
+            pg.poses_, pg.patches_ = scale_adjustment(
+                pg.poses_, pg.patches_, pg.scale_, t0, pg.n, 0.2,
+                M=self.M, P=self.P,
+            )
 
     def _override_update(self, patches_win, net, ii_p, jj_p, kkl, aux, t0, k0,
                          KWIN=None, ba_iters=2):
@@ -583,7 +674,7 @@ class SLAM:
         m = motionmag(pg.poses_, patches_win, pg.intrinsics_, ii_p, jj_p, kkl, aux.mask)
         return float(m)
 
-    def keyframe(self):
+    def keyframe(self, staging=False):
         cfg = self.cfg
         pg = self.pg
         i = pg.n - cfg.KEYFRAME_INDEX - 1
@@ -607,7 +698,7 @@ class SLAM:
             pg.remove_edges(to_remove, store=False)
             pg.reindex_after_removal(k)
 
-            self._shift_buffers(k)
+            self._shift_buffers(k, staging=staging)
             pg.n -= 1
             pg.m -= self.M
 
@@ -618,25 +709,31 @@ class SLAM:
             to_remove = to_remove & ~lc_edges
         pg.remove_edges(to_remove, store=True)
 
-    def _shift_buffers(self, k):
-        """Delete frame k: shift frame rows k..n-1 left by one
-        (reference slam.py:431-441). Fixed-span fused kernel when k is the
-        steady-state keyframe slot; generic gather fallback otherwise."""
+    def _shift_buffers(self, k, staging=False):
+        """Delete frame k: shift frame rows left by one
+        (reference slam.py:431-441). When ``staging`` the just-written
+        frame at row n is included in the shift. Fixed-span fused kernel
+        in steady state; generic gather fallback otherwise."""
         pg = self.pg
-        n, M, N = pg.n, self.M, self.N
+        n, M, N = pg.n + (1 if staging else 0), self.M, self.N
         span = n - 1 - k
         pg.tstamps_[k : n - 1] = pg.tstamps_[k + 1 : n]
         pg.colors_[k : n - 1] = pg.colors_[k + 1 : n]
         pg.seg_[k : n - 1] = pg.seg_[k + 1 : n]
 
-        if span == self.cfg.KEYFRAME_INDEX - 1:
+        if span == self.cfg.KEYFRAME_INDEX - 1 + (1 if staging else 0):
             (pg.poses_, pg.patches_, pg.intrinsics_, pg.imap_, pg.gmap_,
              pg.fmap1_, pg.fmap2_) = remove_keyframe_shift(
                 pg.poses_, pg.patches_, pg.intrinsics_, pg.imap_, pg.gmap_,
                 pg.fmap1_, pg.fmap2_, k, n,
-                SPAN=self.cfg.KEYFRAME_INDEX - 1, M=M,
+                SPAN=self.cfg.KEYFRAME_INDEX - 1 + (1 if staging else 0), M=M,
                 pmem=self.pmem, mem=self.mem,
             )
+            # device-side colors/seg/scale rows shift too
+            from .kernels import shift_rows
+            pg.colors_dev = shift_rows(pg.colors_dev, k, SPAN=span)
+            pg.seg_dev = shift_rows(pg.seg_dev, k, SPAN=span)
+            pg.scale_ = shift_rows(pg.scale_, k, SPAN=span)
             return
 
         fidx = np.arange(N)
@@ -661,6 +758,18 @@ class SLAM:
     # ------------------------------------------------------------------
     # per-frame entry (reference slam.py:612-740)
     # ------------------------------------------------------------------
+    def prefetch(self, image):
+        """Start the async host->device upload of a future frame; pass the
+        same array to __call__ later and the upload will already be in
+        flight (hides the image transfer latency)."""
+        arr = jnp.asarray(np.asarray(image))
+        if not hasattr(self, "_prefetched"):
+            self._prefetched = {}
+        self._prefetched[id(image)] = arr
+        if len(self._prefetched) > 4:
+            self._prefetched.pop(next(iter(self._prefetched)))
+        return arr
+
     def __call__(self, tstamp, image, intrinsics):
         cfg = self.cfg
         pg = self.pg
@@ -672,18 +781,16 @@ class SLAM:
                 f'"--opts BUFFER_SIZE={self.N*2}"'
             )
 
-        if getattr(self, "_pending_keyframe", False):
-            self._pending_keyframe = False
-            with Timer("keyframe", enabled=self.enable_timing):
-                self.keyframe()
-            n = pg.n
-
         if self.long_term_lc is not None:
             self.long_term_lc(image, n)
 
         with Timer("patch", enabled=self.enable_timing):
             k1 = pg.counter  # per-frame seed, folded inside the jit
             self.tlist.append(tstamp)
+            pref = getattr(self, "_prefetched", {})
+            image_dev = pref.pop(id(image), None)
+            if image_dev is None:
+                image_dev = jnp.asarray(np.asarray(image))
             pg.tstamps_[n] = pg.counter
             if n > 1 and cfg.MOTION_MODEL == "DAMPED_LINEAR":
                 *_, a, b, c = [1] * 3 + self.tlist
@@ -691,7 +798,7 @@ class SLAM:
             else:
                 fac = 0.0
             self._process_frame(
-                jnp.asarray(np.asarray(image)), k1, fac,
+                image_dev, k1, fac,
                 self.is_initialized,
                 jnp.asarray(np.asarray(intrinsics, np.float64) / self.RES,
                             jnp.float32),
@@ -700,6 +807,15 @@ class SLAM:
                 jax.block_until_ready(pg.poses_)
 
         pg.counter += 1
+
+        # deferred keyframe decision: the motion-magnitude pull now overlaps
+        # the frame kernel dispatched above; on removal the fused shift also
+        # moves the just-written staging row (span = KEYFRAME_INDEX)
+        if getattr(self, "_pending_keyframe", False):
+            self._pending_keyframe = False
+            with Timer("keyframe", enabled=self.enable_timing):
+                self.keyframe(staging=True)
+            n = pg.n
 
         if n > 0 and not self.is_initialized:
             if self.motion_probe() < cfg.MOTION_PROBE_THR:
@@ -748,6 +864,8 @@ class SLAM:
                 except IndexError as e:
                     print(e)
 
+        if self.viewer is not None:
+            self.viewer.update_image(image)
         return "Is keyframe"
 
     # ------------------------------------------------------------------
@@ -770,7 +888,7 @@ class SLAM:
         self.terminating = True
         if getattr(self, "_pending_keyframe", False):
             self._pending_keyframe = False
-            self.keyframe()
+            self.keyframe(staging=False)
         if self.long_term_lc is not None:
             self.long_term_lc.terminate(pg.n)
         if self.cfg.LOOP_CLOSURE:
@@ -793,6 +911,8 @@ class SLAM:
         poses = np.stack([self.get_pose(t) for t in range(pg.counter)])
         poses = np.asarray(se3_inv(jnp.asarray(poses)))
         tstamps = np.array(self.tlist, np.float64)
+        if self.viewer is not None:
+            self.viewer.join()
         self.terminating = False
         return poses, tstamps
 

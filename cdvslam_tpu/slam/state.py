@@ -41,6 +41,7 @@ class PatchGraph:
         self.points_ = jnp.zeros((N * M, 3), dtype)
         self.colors_ = np.zeros((N, M, 3), np.uint8)
         self.colors_dev = jnp.zeros((N, M, 3), dtype)
+        self.seg_dev = jnp.zeros((N, M), jnp.uint8)
         self.seg_ = np.zeros((N, M), np.uint8)
         self.scale_ = jnp.zeros(N, dtype)
 
