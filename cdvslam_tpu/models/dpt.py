@@ -1,0 +1,106 @@
+"""DPT depth head on DINOv2 intermediate layers.
+
+Flax reimplementation of the reference's mmseg-style DPT head
+(reference: DINO_modules/hub/dpt/depth_head_mm.py): ReassembleBlocks with
+'project' readout (cls-token concat + Linear + GELU), per-stage resize
+(4x/2x up, identity, 2x down), FeatureFusion with pre-activation residual
+units, and the depth regression tail. NHWC layout.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _resize(x, size, align_corners=False):
+    """Bilinear resize matching torch interpolate semantics closely enough
+    for head parity (align_corners handled by jax linear resize)."""
+    B, H, W, C = x.shape
+    return jax.image.resize(x, (B, size[0], size[1], C), method="bilinear")
+
+
+class PreActResidualConvUnit(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.relu(x)
+        y = nn.Conv(self.channels, (3, 3), padding=1, use_bias=False, name="conv1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.channels, (3, 3), padding=1, use_bias=False, name="conv2")(y)
+        return x + y
+
+
+class FeatureFusionBlock(nn.Module):
+    channels: int
+    first: bool = False
+
+    @nn.compact
+    def __call__(self, x, res=None):
+        if res is not None:
+            if res.shape[1:3] != x.shape[1:3]:
+                res = _resize(res, x.shape[1:3])
+            x = x + PreActResidualConvUnit(self.channels, name="res1")(res)
+        x = PreActResidualConvUnit(self.channels, name="res2")(x)
+        x = _resize(x, (2 * x.shape[1], 2 * x.shape[2]), align_corners=True)
+        return nn.Conv(self.channels, (1, 1), use_bias=True, name="project")(x)
+
+
+class ReassembleBlocks(nn.Module):
+    embed_dims: int = 384
+    out_channels: Sequence[int] = (48, 96, 192, 384)
+
+    @nn.compact
+    def __call__(self, inputs):
+        """inputs: list of (tokens (B, h, w, C), cls (B, C))."""
+        outs = []
+        for i, (x, cls) in enumerate(inputs):
+            B, h, w, C = x.shape
+            # 'project' readout: concat cls token, Linear + GELU
+            readout = jnp.broadcast_to(cls[:, None, None, :], x.shape)
+            x = jnp.concatenate([x, readout], axis=-1)
+            x = nn.Dense(self.embed_dims, name=f"readout{i}")(x)
+            x = nn.gelu(x, approximate=False)
+            x = nn.Conv(self.out_channels[i], (1, 1), name=f"project{i}")(x)
+            if i == 0:
+                x = nn.ConvTranspose(self.out_channels[i], (4, 4), strides=(4, 4),
+                                     name="up4")(x)
+            elif i == 1:
+                x = nn.ConvTranspose(self.out_channels[i], (2, 2), strides=(2, 2),
+                                     name="up2")(x)
+            elif i == 3:
+                x = nn.Conv(self.out_channels[i], (3, 3), strides=2, padding=1,
+                            name="down2")(x)
+            outs.append(x)
+        return outs
+
+
+class DPTHead(nn.Module):
+    """Depth from 4 DINOv2 taps. Input: list of 4 (tokens_map, cls) pairs
+    in tap order [2, 5, 8, 11]; output (B, H', W', 1) metric depth."""
+    embed_dims: int = 384
+    post_process_channels: Sequence[int] = (48, 96, 192, 384)
+    channels: int = 256
+    min_depth: float = 0.001
+    max_depth: float = 80.0
+
+    @nn.compact
+    def __call__(self, inputs):
+        x = ReassembleBlocks(self.embed_dims, self.post_process_channels,
+                             name="reassemble")(inputs)
+        x = [nn.Conv(self.channels, (3, 3), padding=1, use_bias=False,
+                     name=f"conv{i}")(f) for i, f in enumerate(x)]
+        out = FeatureFusionBlock(self.channels, first=True, name="fusion0")(x[-1])
+        for i in range(1, len(x)):
+            out = FeatureFusionBlock(self.channels, name=f"fusion{i}")(out, x[-(i + 1)])
+        out = nn.Conv(self.channels, (3, 3), padding=1, name="project")(out)
+        # HeadDepth tail (depth_head_mm.py:40-53)
+        out = nn.Conv(self.channels // 2, (3, 3), padding=1, name="head0")(out)
+        out = _resize(out, (2 * out.shape[1], 2 * out.shape[2]), align_corners=True)
+        out = nn.Conv(32, (3, 3), padding=1, name="head2")(out)
+        out = nn.relu(out)
+        out = nn.Conv(1, (1, 1), name="head4")(out)
+        return nn.relu(out) + self.min_depth

@@ -117,3 +117,15 @@ def test_heads():
     d = dep.apply(p2, x2)
     assert d.shape == (7, 1)
     assert float(d.min()) >= dep.min_depth - 1e-3
+
+
+def test_dpt_head():
+    from cdvslam_tpu.models.dpt import DPTHead
+    head = DPTHead()
+    B, h, w = 1, 4, 5
+    taps = [(jnp.zeros((B, h, w, 384)), jnp.zeros((B, 384))) for _ in range(4)]
+    p = head.init(jax.random.PRNGKey(0), taps)
+    out = head.apply(p, taps)
+    # reassemble scales: x4 on first tap -> fusion chain doubles each stage
+    assert out.shape[0] == B and out.shape[-1] == 1
+    assert float(out.min()) >= head.min_depth - 1e-6
