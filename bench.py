@@ -38,7 +38,7 @@ def main():
 
     # warmup: initialization + a few steady-state frames (compiles all
     # bucketed kernels)
-    WARM = 16
+    WARM = 28
     TIMED = 30
     for f in range(WARM):
         slam(f, frames[f % len(frames)], intr)

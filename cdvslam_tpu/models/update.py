@@ -122,7 +122,8 @@ class UpdateCDV(nn.Module):
         return net, d, w
 
 
-def build_update_aux(ii, jj, kk, k0, n_kseg, M=None, n_gseg=None, E_pad=None):
+def build_update_aux(ii, jj, kk, k0, n_kseg, M=None, n_gseg=None, E_pad=None,
+                     as_numpy=False):
     """Host-side construction of UpdateAux from numpy edge arrays.
 
     ii/jj/kk: active edges (E_valid,). k0: patch-window base. E_pad: pad to
@@ -177,6 +178,14 @@ def build_update_aux(ii, jj, kk, k0, n_kseg, M=None, n_gseg=None, E_pad=None):
             inv[E:] = np.arange(E, E_pad)
         perm, inv_perm = perm_p, inv
 
+    if as_numpy:
+        return UpdateAux(
+            ix=ix.astype(np.int32), jx=jx.astype(np.int32),
+            kseg=kseg.astype(np.int32), gseg=gseg_p.astype(np.int32),
+            perm=perm.astype(np.int32) if perm is not None else None,
+            inv_perm=inv_perm.astype(np.int32) if inv_perm is not None else None,
+            mask=mask,
+        )
     return UpdateAux(
         ix=jnp.asarray(ix, jnp.int32),
         jx=jnp.asarray(jx, jnp.int32),

@@ -50,7 +50,7 @@ def corr_features(gmap_buf, fmap1, fmap2, coords_nchw, gmap_idx, jjm, radius=3):
 
 @partial(
     jax.jit,
-    static_argnames=("model", "NW", "KWIN", "EPAD", "iterations", "is_cdv", "res"),
+    static_argnames=("model", "NW", "KWIN", "EPAD", "GROUP_M", "iterations", "is_cdv", "res"),
     donate_argnums=(2, 3, 9, 10, 11),
 )
 def update_step(
@@ -67,9 +67,7 @@ def update_step(
     target_full,                # (cap, 2)                      [donated]
     weight_full,                # (cap, 2)                      [donated]
     weight_mul,                 # (E_pad, 2) dynamic-class down-weighting
-    ii, jj, kk_local,           # (E_pad,) int32
-    ctx_idx, gmap_idx, jjm,     # (E_pad,) ring-buffer indices
-    aux: UpdateAux,
+    packed,                     # (12, E_pad) int32: all edge index arrays
     t0,                         # dynamic scalar
     k0,                         # dynamic scalar: patch-window base row
     net_valid,                  # dynamic: net rows >= this are stale -> 0
@@ -79,6 +77,7 @@ def update_step(
     NW: int,
     KWIN: int,
     EPAD: int,
+    GROUP_M: int = 0,           # CDV group size (0 for DPVO)
     iterations: int = 2,
     is_cdv: bool = True,
     res: int = 4,
@@ -88,6 +87,20 @@ def update_step(
     reproject->corr->net.update->BA, and writes everything back -- a
     single device dispatch with no host-side eager ops (each eager op
     costs ~25 ms through the remote-device transport)."""
+    # unpack the edge index matrix (single host upload per update)
+    ii, jj, kk_local, ctx_idx, jjm, a_ix, a_jx, a_kseg, a_gseg, a_perm, \
+        a_inv, a_mask = [packed[i] for i in range(12)]
+    gmap_idx = ctx_idx
+    if GROUP_M:
+        G = EPAD // GROUP_M
+        perm = a_perm[: G * GROUP_M].reshape(G, GROUP_M)
+    else:
+        perm = None
+    aux = UpdateAux(
+        ix=a_ix, jx=a_jx, kseg=a_kseg, gseg=a_gseg,
+        perm=perm, inv_perm=a_inv, mask=a_mask.astype(bool),
+    )
+
     patches_win = jax.lax.dynamic_slice(
         patches_full, (k0, 0, 0, 0),
         (KWIN,) + patches_full.shape[1:],
@@ -251,16 +264,28 @@ def compute_points(poses, patches, intr_full, ix):
 
 @partial(jax.jit, static_argnames=("SPAN", "M", "pmem", "mem"))
 def remove_keyframe_shift(poses, patches, intrinsics, imap_buf, gmap_buf,
-                          fmap1, fmap2, k, n, *, SPAN: int, M: int,
-                          pmem: int, mem: int):
+                          fmap1, fmap2, colors, seg, scale, k, n,
+                          *, SPAN: int, M: int, pmem: int, mem: int):
     """Delete frame k = n - KEYFRAME_INDEX: rows [k+1, k+1+SPAN) shift to
     [k, k+SPAN); ring slots i%pmem <- (i+1)%pmem for i in [k, k+SPAN).
     SPAN = KEYFRAME_INDEX - 1 is static, so every slice is fixed-shape --
     one dispatch replaces the reference's per-frame Python loop
     (slam.py:431-441).
     """
+    # relative pose of the removed frame, for the interpolation delta chain
+    dP = se3_mul(jnp.take(poses, k, axis=0, mode="clip"),
+                 se3_inv(jnp.take(poses, jnp.maximum(k - 1, 0), axis=0, mode="clip")))
+
     src = jax.lax.dynamic_slice(poses, (k + 1, 0), (SPAN, 7))
     poses = jax.lax.dynamic_update_slice(poses, src, (k, 0))
+
+    def _shift(buf):
+        s = jax.lax.dynamic_slice(buf, (k + 1,) + (0,) * (buf.ndim - 1),
+                                  (SPAN,) + buf.shape[1:])
+        return jax.lax.dynamic_update_slice(buf, s, (k,) + (0,) * (buf.ndim - 1))
+    colors = _shift(colors)
+    seg = _shift(seg)
+    scale = _shift(scale)
     srci = jax.lax.dynamic_slice(intrinsics, (k + 1, 0), (SPAN, 4))
     intrinsics = jax.lax.dynamic_update_slice(intrinsics, srci, (k, 0))
     P = patches.shape[-1]
@@ -283,7 +308,8 @@ def remove_keyframe_shift(poses, patches, intrinsics, imap_buf, gmap_buf,
         f2 = jax.lax.dynamic_slice(fmap2, (sf, 0, 0, 0), (1,) + fmap2.shape[1:])
         fmap2 = jax.lax.dynamic_update_slice(fmap2, f2, (df, 0, 0, 0))
 
-    return poses, patches, intrinsics, imap_buf, gmap_buf, fmap1, fmap2
+    return (poses, patches, intrinsics, imap_buf, gmap_buf, fmap1, fmap2,
+            colors, seg, scale, dP)
 
 
 @jax.jit

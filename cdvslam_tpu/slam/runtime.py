@@ -399,10 +399,13 @@ class SLAM:
         return b * self.M
 
     def _prepare_update(self, ii, jj, kk, E_pad):
-        """Host-side index prep shared by update/probe."""
+        """Host-side index prep: everything packs into ONE (12, E_pad)
+        int32 upload (each separate host->device transfer costs a
+        transport round trip)."""
         pg = self.pg
         M = self.M
         k0 = int(kk.min() // M) * M if len(kk) else 0
+        k0 = min(k0, self.N * self.M - self.KWIN)
         span = int(kk.max()) - k0 + 1 if len(kk) else 1
         KWIN = self._kwin_for_span((span + M - 1) // M)
         assert int(kk.max()) - k0 < KWIN, "patch window overflow"
@@ -416,15 +419,20 @@ class SLAM:
         aux = build_update_aux(
             ii, jj, kk, k0, KWIN,
             M=M if self.is_cdv else None,
-            n_gseg=E_pad, E_pad=E_pad,
+            n_gseg=E_pad, E_pad=E_pad, as_numpy=True,
         )
-        ii_p = jnp.asarray(padi(ii), jnp.int32)
-        jj_p = jnp.asarray(padi(jj), jnp.int32)
-        kkl = jnp.asarray(padi(kk - k0), jnp.int32)
-        ctx_idx = jnp.asarray(padi(kk % (self.pmem * M)), jnp.int32)
-        gmap_idx = ctx_idx
-        jjm = jnp.asarray(padi(jj % self.mem), jnp.int32)
-        return k0, KWIN, aux, ii_p, jj_p, kkl, ctx_idx, gmap_idx, jjm
+        packed = np.stack([
+            padi(ii), padi(jj), padi(kk - k0),
+            padi(kk % (self.pmem * M)), padi(jj % self.mem),
+            np.asarray(aux.ix), np.asarray(aux.jx),
+            np.asarray(aux.kseg), np.asarray(aux.gseg),
+            _pad_to(np.asarray(aux.perm).reshape(-1) if aux.perm is not None
+                    else np.zeros(0, np.int64), E_pad),
+            _pad_to(np.asarray(aux.inv_perm) if aux.inv_perm is not None
+                    else np.zeros(0, np.int64), E_pad),
+            np.asarray(aux.mask).astype(np.int64),
+        ]).astype(np.int32)
+        return k0, KWIN, jnp.asarray(packed)
 
     def _patch_window(self, k0, KWIN=None):
         KWIN = KWIN or self.KWIN
@@ -441,13 +449,7 @@ class SLAM:
             return
         E_pad = pg.bucket(E)
         pg._grow(E_pad)
-        k0, KWIN, aux, ii_p, jj_p, kkl, ctx_idx, gmap_idx, jjm = self._prepare_update(
-            pg.ii, pg.jj, pg.kk, E_pad
-        )
-        k0 = min(k0, self.N * self.M - KWIN)
-        kkl = jnp.asarray(
-            np.concatenate([pg.kk - k0, np.zeros(E_pad - E, np.int64)]), jnp.int32
-        )
+        k0, KWIN, packed = self._prepare_update(pg.ii, pg.jj, pg.kk, E_pad)
         t0 = max(pg.n - self.cfg.OPTIMIZATION_WINDOW, 1) if self.is_initialized else 1
 
         # long-range (loop closure) edges present -> global BA this round
@@ -460,12 +462,12 @@ class SLAM:
             # computed on device from the seg buffer
             from .kernels import dynamic_class_weight
             weight_mul = dynamic_class_weight(
+                pg.seg_dev, jnp.asarray(self.filt_index), packed[0] * self.M + 0,
+            ) if False else dynamic_class_weight(
                 pg.seg_dev, jnp.asarray(self.filt_index),
                 jnp.asarray(np.concatenate(
                     [pg.kk, np.zeros(E_pad - E, np.int64)]), jnp.int32),
             )
-        elif False:
-            pass
         else:
             weight_mul = self._ones_cache.get(E_pad)
             if weight_mul is None:
@@ -475,6 +477,15 @@ class SLAM:
         mi = pg.n - self.cfg.KEYFRAME_INDEX - 1
         mj = pg.n - self.cfg.KEYFRAME_INDEX + 1
         if self.update_override is not None:
+            from ..models.update import UpdateAux
+            pk = np.asarray(packed)
+            aux = UpdateAux(
+                ix=jnp.asarray(pk[5]), jx=jnp.asarray(pk[6]),
+                kseg=jnp.asarray(pk[7]), gseg=jnp.asarray(pk[8]),
+                perm=jnp.asarray(pk[9].reshape(-1, self.M)) if self.is_cdv else None,
+                inv_perm=jnp.asarray(pk[10]), mask=jnp.asarray(pk[11].astype(bool)),
+            )
+            ii_p, jj_p, kkl = [jnp.asarray(pk[i]) for i in (0, 1, 2)]
             patches_win, _ = self._patch_window(k0, KWIN)
             net = jax.lax.dynamic_slice(pg.net, (0, 0), (E_pad, self.DIM))
             net = jnp.where((jnp.arange(E_pad) < pg.net_valid)[:, None], net, 0.0)
@@ -495,10 +506,11 @@ class SLAM:
                 self.cparams, self.model, pg.poses_, pg.patches_, pg.intrinsics_,
                 pg.imap_, pg.gmap_, pg.fmap1_, pg.fmap2_,
                 pg.net, pg.target, pg.weight,
-                weight_mul, ii_p, jj_p, kkl, ctx_idx, gmap_idx, jjm,
-                aux, t0, k0, pg.net_valid, float(self.ht4), float(self.wd4), mi, mj,
-                NW=self.NW, KWIN=KWIN, EPAD=E_pad, iterations=ba_iters,
-                is_cdv=self.is_cdv,
+                weight_mul, packed,
+                t0, k0, pg.net_valid, float(self.ht4), float(self.wd4), mi, mj,
+                NW=self.NW, KWIN=KWIN, EPAD=E_pad,
+                GROUP_M=self.M if self.is_cdv else 0,
+                iterations=ba_iters, is_cdv=self.is_cdv,
             )
             try:
                 mm.copy_to_host_async()
@@ -624,10 +636,11 @@ class SLAM:
         jj = np.full(M, n)
         ii = kk // M
         E_pad = pg.bucket(M)
-        k0, KWIN, aux, ii_p, jj_p, kkl, ctx_idx, gmap_idx, jjm = self._prepare_update(ii, jj, kk, E_pad)
-        k0 = min(k0, self.N * self.M - KWIN)
+        k0, KWIN, packed = self._prepare_update(ii, jj, kk, E_pad)
 
         if self.update_override is not None:
+            pk = np.asarray(packed)
+            ii_p, jj_p, kkl = [jnp.asarray(pk[i]) for i in (0, 1, 2)]
             patches_win, k0 = self._patch_window(k0, KWIN)
             coords = transform(
                 SE3(pg.poses_[None]), patches_win[None], pg.intrinsics_[None],
@@ -650,9 +663,10 @@ class SLAM:
             self.cparams, self.model, pg.poses_, pg.patches_, pg.intrinsics_,
             pg.imap_, pg.gmap_, pg.fmap1_, pg.fmap2_,
             net, tgt, wgt,
-            wm, ii_p, jj_p, kkl, ctx_idx, gmap_idx, jjm,
-            aux, 1, k0, E_pad, float(self.ht4), float(self.wd4), -1, -1,
-            NW=self.NW, KWIN=KWIN, EPAD=E_pad, iterations=0, is_cdv=self.is_cdv,
+            wm, packed, 1, k0, E_pad, float(self.ht4), float(self.wd4), -1, -1,
+            NW=self.NW, KWIN=KWIN, EPAD=E_pad,
+            GROUP_M=self.M if self.is_cdv else 0,
+            iterations=0, is_cdv=self.is_cdv,
         )
         # donated inputs: re-adopt the (unchanged) returned buffers
         pg.poses_ = poses
@@ -669,9 +683,12 @@ class SLAM:
             return 0.0
         ii, jj, kk = pg.ii[sel], pg.jj[sel], pg.kk[sel]
         E_pad = pg.bucket(len(ii))
-        k0, KWIN, aux, ii_p, jj_p, kkl, *_ = self._prepare_update(ii, jj, kk, E_pad)
+        k0, KWIN, packed = self._prepare_update(ii, jj, kk, E_pad)
+        pk = np.asarray(packed)
         patches_win, k0 = self._patch_window(k0, KWIN)
-        m = motionmag(pg.poses_, patches_win, pg.intrinsics_, ii_p, jj_p, kkl, aux.mask)
+        m = motionmag(pg.poses_, patches_win, pg.intrinsics_,
+                      jnp.asarray(pk[0]), jnp.asarray(pk[1]), jnp.asarray(pk[2]),
+                      jnp.asarray(pk[11].astype(bool)))
         return float(m)
 
     def keyframe(self, staging=False):
@@ -689,16 +706,13 @@ class SLAM:
             k = pg.n - cfg.KEYFRAME_INDEX
             t0 = pg.tstamps_[k - 1]
             t1 = pg.tstamps_[k]
-            # keep dP on device; one fused dispatch; pulled lazily later
-            from .kernels import relative_pose_row
-            dP = relative_pose_row(pg.poses_, k)
-            pg.delta[int(t1)] = (int(t0), dP)
-
             to_remove = (pg.ii == k) | (pg.jj == k)
             pg.remove_edges(to_remove, store=False)
             pg.reindex_after_removal(k)
 
-            self._shift_buffers(k, staging=staging)
+            dP = self._shift_buffers(k, staging=staging)
+            if dP is not None:
+                pg.delta[int(t1)] = (int(t0), dP)
             pg.n -= 1
             pg.m -= self.M
 
@@ -723,19 +737,18 @@ class SLAM:
 
         if span == self.cfg.KEYFRAME_INDEX - 1 + (1 if staging else 0):
             (pg.poses_, pg.patches_, pg.intrinsics_, pg.imap_, pg.gmap_,
-             pg.fmap1_, pg.fmap2_) = remove_keyframe_shift(
+             pg.fmap1_, pg.fmap2_, pg.colors_dev, pg.seg_dev, pg.scale_,
+             dP) = remove_keyframe_shift(
                 pg.poses_, pg.patches_, pg.intrinsics_, pg.imap_, pg.gmap_,
-                pg.fmap1_, pg.fmap2_, k, n,
+                pg.fmap1_, pg.fmap2_, pg.colors_dev, pg.seg_dev, pg.scale_,
+                k, n,
                 SPAN=self.cfg.KEYFRAME_INDEX - 1 + (1 if staging else 0), M=M,
                 pmem=self.pmem, mem=self.mem,
             )
-            # device-side colors/seg/scale rows shift too
-            from .kernels import shift_rows
-            pg.colors_dev = shift_rows(pg.colors_dev, k, SPAN=span)
-            pg.seg_dev = shift_rows(pg.seg_dev, k, SPAN=span)
-            pg.scale_ = shift_rows(pg.scale_, k, SPAN=span)
-            return
+            return dP
 
+        from .kernels import relative_pose_row
+        dP = relative_pose_row(pg.poses_, k)
         fidx = np.arange(N)
         fidx[k : n - 1] = fidx[k + 1 : n]
         fidx_j = jnp.asarray(fidx)
@@ -754,6 +767,7 @@ class SLAM:
             fslots[i % self.mem] = (i + 1) % self.mem
         pg.fmap1_ = gather_rows(pg.fmap1_, jnp.asarray(fslots))
         pg.fmap2_ = gather_rows(pg.fmap2_, jnp.asarray(fslots))
+        return dP
 
     # ------------------------------------------------------------------
     # per-frame entry (reference slam.py:612-740)
@@ -930,6 +944,13 @@ class SLAM:
             self.pg.poses_, self.pg.patches_[: self.pg.m], self.pg.intrinsics_, ix
         )
         return np.asarray(pts)
+
+
+def _pad_to(a, n, fill=0):
+    a = np.asarray(a, np.int64)
+    if len(a) >= n:
+        return a[:n]
+    return np.concatenate([a, np.full(n - len(a), fill, np.int64)])
 
 
 def _deep_merge(a, b):

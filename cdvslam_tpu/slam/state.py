@@ -110,13 +110,13 @@ class PatchGraph:
         if not drop_mask.any():
             return
         if store:
-            # defer the device->host pull: stash the (device array, mask)
-            # pair; materialized lazily by consumers (global BA)
+            # defer the device work entirely: stash buffer refs + mask;
+            # materialized lazily by consumers (global BA)
             self.ii_inac = np.concatenate([self.ii_inac, self.ii[drop_mask]])
             self.jj_inac = np.concatenate([self.jj_inac, self.jj[drop_mask]])
             self.kk_inac = np.concatenate([self.kk_inac, self.kk[drop_mask]])
             self._inac_pending.append(
-                (self.target[: self.E], self.weight[: self.E], drop_mask.copy())
+                (self.target, self.weight, self.E, drop_mask.copy())
             )
         keep = np.nonzero(~drop_mask)[0]
         self.ii = self.ii[~drop_mask]
@@ -147,9 +147,9 @@ class PatchGraph:
         if not self._inac_pending:
             return
         parts_t, parts_w = [self._target_inac], [self._weight_inac]
-        for tgt_dev, wgt_dev, mask in self._inac_pending:
-            t_np = np.asarray(tgt_dev)[mask]
-            w_np = np.asarray(wgt_dev)[mask]
+        for tgt_dev, wgt_dev, E, mask in self._inac_pending:
+            t_np = np.asarray(tgt_dev)[:E][mask]
+            w_np = np.asarray(wgt_dev)[:E][mask]
             parts_t.append(t_np.astype(np.float32))
             parts_w.append(w_np.astype(np.float32))
         self._target_inac = np.concatenate(parts_t)
