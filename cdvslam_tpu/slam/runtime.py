@@ -92,6 +92,7 @@ class SLAM:
         self.tlist = []
         self.traj = {}
         self._ones_cache = {}
+        self._intr_cache = {}
         self.terminating = False
         self.ran_global_ba = np.zeros(100000, dtype=bool)
 
@@ -811,12 +812,13 @@ class SLAM:
                 fac = float((c - b) / max(b - a, 1e-9))
             else:
                 fac = 0.0
-            self._process_frame(
-                image_dev, k1, fac,
-                self.is_initialized,
-                jnp.asarray(np.asarray(intrinsics, np.float64) / self.RES,
-                            jnp.float32),
-            )
+            intr_key = tuple(np.asarray(intrinsics, np.float64))
+            intr_dev = self._intr_cache.get(intr_key)
+            if intr_dev is None:
+                intr_dev = jnp.asarray(
+                    np.asarray(intrinsics, np.float64) / self.RES, jnp.float32)
+                self._intr_cache[intr_key] = intr_dev
+            self._process_frame(image_dev, k1, fac, self.is_initialized, intr_dev)
             if self.enable_timing:
                 jax.block_until_ready(pg.poses_)
 

@@ -165,3 +165,32 @@ class PatchGraph:
     def weight_inac(self):
         self._flush_inac()
         return self._weight_inac
+
+    def remove_edges_combined(self, drop_mask, retire_mask, ii_post, jj_post,
+                              kk_post):
+        """Drop + retire in ONE device compaction. Masks are over the
+        CURRENT edge list; (ii/jj/kk)_post are post-removal reindexed
+        values used for the retired store and the surviving list."""
+        drop_mask = np.asarray(drop_mask, bool)
+        retire_mask = np.asarray(retire_mask, bool)
+        gone = drop_mask | retire_mask
+        if not gone.any():
+            self.ii, self.jj, self.kk = ii_post, jj_post, kk_post
+            return
+        if retire_mask.any():
+            self.ii_inac = np.concatenate([self.ii_inac, ii_post[retire_mask]])
+            self.jj_inac = np.concatenate([self.jj_inac, jj_post[retire_mask]])
+            self.kk_inac = np.concatenate([self.kk_inac, kk_post[retire_mask]])
+            self._inac_pending.append(
+                (self.target, self.weight, self.E, retire_mask.copy()))
+        keep = np.nonzero(~gone)[0]
+        self.ii = ii_post[~gone]
+        self.jj = jj_post[~gone]
+        self.kk = kk_post[~gone]
+        from .kernels import compact_edge_state
+        idx = np.zeros(self.cap, np.int64)
+        idx[: len(keep)] = keep
+        self.net, self.target, self.weight = compact_edge_state(
+            self.net, self.target, self.weight, jnp.asarray(idx), len(keep)
+        )
+        self.net_valid = len(keep)

@@ -85,6 +85,24 @@ def main():
         if total % args.eval_every == 0:
             os.makedirs("checkpoints", exist_ok=True)
             save_checkpoint(f"checkpoints/{args.name}_{total:06d}", state)
+            # in-training validation (reference train_cdvo.py:219-224)
+            if os.path.isdir(args.datapath):
+                try:
+                    import evaluate_tartan
+                    import argparse as _ap
+                    eargs = _ap.Namespace(
+                        version="cdv", network="", stride=1, trials=1,
+                        config="config/default_cdvo.yaml", viz=False,
+                        backend_thresh=96.0, opts=[], plot=False,
+                        save_trajectory=False, expname="",
+                    )
+                    from cdvslam_tpu.eval.harness import load_cfg
+                    vcfg = load_cfg(eargs)
+                    results = evaluate_tartan.evaluate(
+                        args.datapath, vcfg, eargs, trials=1)
+                    logger.write_dict(results)
+                except Exception as e:
+                    print("validation failed:", e)
 
 
 if __name__ == "__main__":
