@@ -47,12 +47,10 @@ def convert_update_cdv(sd, prefix="update."):
     """Update (CDV 'pa' variant) weights (reference net_cdv.py:29-95)."""
     p = prefix
     common = {
-        "corr": {
-            "layers_0": _lin(sd, f"{p}corr.0"),
-            "layers_2": _lin(sd, f"{p}corr.2"),
-            "layers_3": _ln(sd, f"{p}corr.3"),
-            "layers_5": _lin(sd, f"{p}corr.5"),
-        },
+        "corr_0": _lin(sd, f"{p}corr.0"),
+        "corr_2": _lin(sd, f"{p}corr.2"),
+        "corr_3": _ln(sd, f"{p}corr.3"),
+        "corr_5": _lin(sd, f"{p}corr.5"),
         "norm": _ln(sd, f"{p}norm"),
         "c1": _mlp2(sd, f"{p}c1"),
         "c2": _mlp2(sd, f"{p}c2"),
@@ -91,12 +89,10 @@ def convert_update_dpv(sd, prefix="update."):
     """Update (DPVO variant) weights (reference net_dpv.py:27-92)."""
     p = prefix
     common = {
-        "corr": {
-            "layers_0": _lin(sd, f"{p}corr.0"),
-            "layers_2": _lin(sd, f"{p}corr.2"),
-            "layers_3": _ln(sd, f"{p}corr.3"),
-            "layers_5": _lin(sd, f"{p}corr.5"),
-        },
+        "corr_0": _lin(sd, f"{p}corr.0"),
+        "corr_2": _lin(sd, f"{p}corr.2"),
+        "corr_3": _ln(sd, f"{p}corr.3"),
+        "corr_5": _lin(sd, f"{p}corr.5"),
         "norm": _ln(sd, f"{p}norm"),
         "c1": _mlp2(sd, f"{p}c1"),
         "c2": _mlp2(sd, f"{p}c2"),
@@ -245,6 +241,12 @@ def load_torch_checkpoint(path, version="cdv"):
         }
         if "patchify.dino_adapter.weight" in sd:
             params["dino_adapter"] = _lin(sd, "patchify.dino_adapter")
+        if "patchify.score.0.weight" in sd:
+            # optional score head (reference net_cdv.py:179-184)
+            params["score_head"] = {
+                "layers_0": _lin(sd, "patchify.score.0"),
+                "layers_2": _lin(sd, "patchify.score.2"),
+            }
         batch_stats = {"xfeat_f": {"xfeat": xf_stats}}
         return {"params": params, "batch_stats": batch_stats}
 

@@ -67,7 +67,12 @@ def select_random_grid(key, n, M, hi, wi, P, scale_f2i, upperleft=True):
     else:
         y = ((yy + 0.5) / scale_f2i).reshape(-1)
         x = ((xx + 0.5) / scale_f2i).reshape(-1)
-    inds = jax.random.permutation(key, y.shape[0])[-M:]
+    # wrap around when M exceeds the candidate pool (tiny images) --
+    # the reference asserts implicitly via shape mismatch; tiling keeps
+    # small-resolution runs usable
+    perm = jax.random.permutation(key, y.shape[0])
+    reps = -(-M // y.shape[0])
+    inds = jnp.tile(perm, reps)[-M:]
     y = jnp.broadcast_to(y[inds], (n, M))
     x = jnp.broadcast_to(x[inds], (n, M))
     return jnp.stack([x, y], -1).astype(jnp.float32)

@@ -52,11 +52,14 @@ class _UpdateCommon(nn.Module):
 
     @nn.compact
     def __call__(self, net, inp, corr, aux: UpdateAux, n_kseg: int):
-        corr_feat = nn.Sequential([
-            nn.Dense(DIM), nn.relu,
-            nn.Dense(DIM), nn.LayerNorm(epsilon=1e-3), nn.relu,
-            nn.Dense(DIM),
-        ], name="corr")(corr)
+        # explicitly named so checkpoint conversion maps torch `corr.N.*`
+        # (convert.py) onto stable flax names
+        corr_feat = nn.Dense(DIM, name="corr_0")(corr)
+        corr_feat = nn.relu(corr_feat)
+        corr_feat = nn.Dense(DIM, name="corr_2")(corr_feat)
+        corr_feat = nn.LayerNorm(epsilon=1e-3, name="corr_3")(corr_feat)
+        corr_feat = nn.relu(corr_feat)
+        corr_feat = nn.Dense(DIM, name="corr_5")(corr_feat)
 
         net = net + inp + corr_feat
         net = nn.LayerNorm(epsilon=1e-3, name="norm")(net)
