@@ -36,9 +36,9 @@ def main():
     ]
     intr = np.array([458.654, 457.296, 367.215, 248.375], np.float32)
 
-    # warmup: initialization + a few steady-state frames (compiles all
-    # bucketed kernels)
-    WARM = 28
+    # warmup: initialization + enough steady-state frames for the edge
+    # count to reach its terminal bucket (compiles all kernel variants)
+    WARM = 60
     TIMED = 30
     for f in range(WARM):
         slam(f, frames[f % len(frames)], intr)

@@ -48,12 +48,7 @@ def corr_features(gmap_buf, fmap1, fmap2, coords_nchw, gmap_idx, jjm, radius=3):
 # ---------------------------------------------------------------------------
 
 
-@partial(
-    jax.jit,
-    static_argnames=("model", "NW", "KWIN", "EPAD", "GROUP_M", "iterations", "is_cdv", "res"),
-    donate_argnums=(2, 3, 9, 10, 11),
-)
-def update_step(
+def update_body(
     params,
     model,                      # static: flax module def
     poses,                      # (N, 7)                        [donated]
@@ -89,7 +84,7 @@ def update_step(
     costs ~25 ms through the remote-device transport)."""
     # unpack the edge index matrix (single host upload per update)
     ii, jj, kk_local, ctx_idx, jjm, a_ix, a_jx, a_kseg, a_gseg, a_perm, \
-        a_inv, a_mask = [packed[i] for i in range(12)]
+        a_inv, a_mask, a_gather = [packed[i] for i in range(13)]
     gmap_idx = ctx_idx
     if GROUP_M:
         G = EPAD // GROUP_M
@@ -105,7 +100,10 @@ def update_step(
         patches_full, (k0, 0, 0, 0),
         (KWIN,) + patches_full.shape[1:],
     )
-    net = jax.lax.dynamic_slice(net_full, (0, 0), (EPAD, net_full.shape[1]))
+    # gather the hidden state per edge: identity normally; a survivor
+    # compaction when a keyframe removal / retirement is pending (packed
+    # row 12) -- the compaction rides this dispatch instead of its own
+    net = jnp.take(net_full, a_gather, axis=0, mode="clip")
     # zero hidden state of newly-appended edges
     net = jnp.where((jnp.arange(EPAD) < net_valid)[:, None], net, 0.0)
     E = ii.shape[0]
@@ -176,6 +174,13 @@ def update_step(
     target_full = jax.lax.dynamic_update_slice(target_full, target, (0, 0))
     weight_full = jax.lax.dynamic_update_slice(weight_full, w[0], (0, 0))
     return poses, patches_full, net_full, target_full, weight_full, delta_norm, mm
+
+
+update_step = partial(
+    jax.jit,
+    static_argnames=("model", "NW", "KWIN", "EPAD", "GROUP_M", "iterations", "is_cdv", "res"),
+    donate_argnums=(2, 3, 9, 10, 11),
+)(update_body)
 
 
 # ---------------------------------------------------------------------------

@@ -37,7 +37,8 @@ from ..models.patchifier import (
 from ..utils.timer import Timer
 from .kernels import (
     compact_edge_state, compute_points, gather_rows, median_depth,
-    motion_extrapolate, motionmag, remove_keyframe_shift, update_step,
+    motion_extrapolate, motionmag, remove_keyframe_shift, update_body,
+    update_step,
 )
 from .state import PatchGraph
 
@@ -134,6 +135,9 @@ class SLAM:
             self.viewer = SnapshotViewer(self)
 
         self._frame_fn = None   # lazily built per network type
+        self._frame_body = None
+        self._fused_fn = None   # frame-insert + update in ONE dispatch
+        self._kf_queue = []     # lagged keyframe decisions (pid, mm_dev)
 
     # ------------------------------------------------------------------
     def _setup_heads(self):
@@ -233,7 +237,6 @@ class SLAM:
             from ..ops.patchify import patchify as patchify_op
             from ..models.patchifier import coords_grid_with_index
 
-            @partial(jax.jit, donate_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
             def frame_fn(params, image_u8, seed, poses, patches_buf, intr_buf,
                          imap_buf, gmap_buf, f1buf, f2buf, colors_buf,
                          seg_buf, scale_buf, n, fac,
@@ -342,7 +345,9 @@ class SLAM:
                 return (poses, patches_buf, intr_buf, imap_buf, gmap_buf,
                         f1buf, f2buf, colors_buf, seg_buf, scale_buf)
 
-            self._frame_fn = frame_fn
+            self._frame_body = frame_fn
+            self._frame_fn = jax.jit(
+                frame_fn, donate_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 
         out = self._frame_fn(
             self.cparams, image_u8, key, pg.poses_, pg.patches_, pg.intrinsics_,
@@ -352,6 +357,120 @@ class SLAM:
         )
         (pg.poses_, pg.patches_, pg.intrinsics_, pg.imap_, pg.gmap_,
          pg.fmap1_, pg.fmap2_, pg.colors_dev, pg.seg_dev, pg.scale_) = out
+
+    # ------------------------------------------------------------------
+    def _build_fused(self):
+        """Frame insert + update in ONE jitted program: in steady state the
+        per-frame work is exactly one device dispatch (each dispatch costs
+        ~8 ms of transport on the remote-device link, so merging the two
+        hot programs buys that back every frame)."""
+        frame_body = self._frame_body
+        model = self.model
+
+        @partial(
+            jax.jit,
+            static_argnames=("NW", "KWIN", "EPAD", "GROUP_M", "iterations",
+                             "is_cdv"),
+            donate_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 16, 17, 18),
+        )
+        def fused_fn(params, image_u8, seed, poses, patches_buf, intr_buf,
+                     imap_buf, gmap_buf, f1buf, f2buf, colors_buf, seg_buf,
+                     scale_buf, n, fac, intr_row,
+                     net_full, target_full, weight_full, weight_mul, packed,
+                     t0, k0, net_valid, ht4, wd4, mm_i, mm_j, *,
+                     NW, KWIN, EPAD, GROUP_M, iterations, is_cdv):
+            (poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf, f2buf,
+             colors_buf, seg_buf, scale_buf) = frame_body(
+                params, image_u8, seed, poses, patches_buf, intr_buf,
+                imap_buf, gmap_buf, f1buf, f2buf, colors_buf, seg_buf,
+                scale_buf, n, fac, True, intr_row)
+            (poses, patches_buf, net_full, target_full, weight_full, _dn,
+             mm) = update_body(
+                params, model, poses, patches_buf, intr_buf, imap_buf,
+                gmap_buf, f1buf, f2buf, net_full, target_full, weight_full,
+                weight_mul, packed, t0, k0, net_valid, ht4, wd4, mm_i, mm_j,
+                NW=NW, KWIN=KWIN, EPAD=EPAD, GROUP_M=GROUP_M,
+                iterations=iterations, is_cdv=is_cdv)
+            return (poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf,
+                    f2buf, colors_buf, seg_buf, scale_buf, net_full,
+                    target_full, weight_full, mm)
+
+        return fused_fn
+
+    def _fused_frame_update(self, image_u8, seed, fac, intr_row):
+        """Steady-state per-frame path: insert the frame AND run the update
+        in one dispatch. Assumes edges for the new frame are already
+        appended (host-side index bookkeeping only)."""
+        pg = self.pg
+        cfg = self.cfg
+        if self._frame_body is None:
+            # builds self._frame_body as a side effect (scratch dispatch is
+            # never needed: pre-init frames always go through
+            # _process_frame first, so the body already exists by the time
+            # the SLAM is initialized; this is a safety net)
+            raise RuntimeError("frame body not built; call _process_frame first")
+        if self._fused_fn is None:
+            self._fused_fn = self._build_fused()
+
+        E = pg.E
+        E_pad = pg.bucket(E)
+        pg._grow(E_pad)
+        k0, KWIN, packed = self._prepare_update(pg.ii, pg.jj, pg.kk, E_pad)
+        t0 = max(pg.n - cfg.OPTIMIZATION_WINDOW, 1)
+
+        long_range = bool((pg.ii < pg.n - cfg.REMOVAL_WINDOW - 1).any()) \
+            and not self.ran_global_ba[pg.n]
+        ba_iters = 0 if long_range else 2
+
+        if cfg.FILTER_DYNAMIC_CLASS and self.filt_index is not None:
+            from .kernels import dynamic_class_weight
+            weight_mul = dynamic_class_weight(
+                pg.seg_dev, jnp.asarray(self.filt_index),
+                jnp.asarray(np.concatenate(
+                    [pg.kk, np.zeros(E_pad - E, np.int64)]), jnp.int32),
+            )
+        else:
+            weight_mul = self._ones_cache.get(E_pad)
+            if weight_mul is None:
+                weight_mul = jnp.ones((E_pad, 2), jnp.float32)
+                self._ones_cache[E_pad] = weight_mul
+
+        mi = pg.n - cfg.KEYFRAME_INDEX - 1
+        mj = pg.n - cfg.KEYFRAME_INDEX + 1
+        n_row = pg.n - 1   # row the new frame lands in (pg.n already bumped)
+
+        (pg.poses_, pg.patches_, pg.intrinsics_, pg.imap_, pg.gmap_,
+         pg.fmap1_, pg.fmap2_, pg.colors_dev, pg.seg_dev, pg.scale_,
+         pg.net, pg.target, pg.weight, mm) = self._fused_fn(
+            self.cparams, image_u8, seed, pg.poses_, pg.patches_,
+            pg.intrinsics_, pg.imap_, pg.gmap_, pg.fmap1_, pg.fmap2_,
+            pg.colors_dev, pg.seg_dev, pg.scale_, n_row, fac, intr_row,
+            pg.net, pg.target, pg.weight, weight_mul, packed,
+            t0, k0, pg.net_valid, float(self.ht4), float(self.wd4), mi, mj,
+            NW=self.NW, KWIN=KWIN, EPAD=E_pad,
+            GROUP_M=self.M if self.is_cdv else 0,
+            iterations=ba_iters, is_cdv=self.is_cdv,
+        )
+        try:
+            mm.copy_to_host_async()
+        except Exception:
+            pass
+        self._mm_cache = (mi, mj, mm)
+        # queue the keyframe decision for the frame tested by (mi, mj),
+        # keyed by its physical frame id (rows shift under later removals)
+        if pg.n - cfg.KEYFRAME_INDEX >= 1:
+            self._kf_queue.append(
+                (int(pg.tstamps_[pg.n - cfg.KEYFRAME_INDEX]), mm))
+        pg.net_valid = E
+
+        if long_range:
+            self._run_global_ba()
+        elif self.depth_params is not None:
+            from .kernels import scale_adjustment
+            pg.poses_, pg.patches_ = scale_adjustment(
+                pg.poses_, pg.patches_, pg.scale_, t0, pg.n, 0.2,
+                M=self.M, P=self.P,
+            )
 
     # ------------------------------------------------------------------
     def preprocess(self, image):
@@ -422,6 +541,17 @@ class SLAM:
             M=M if self.is_cdv else None,
             n_gseg=E_pad, E_pad=E_pad, as_numpy=True,
         )
+        # row 12: survivor gather for a deferred edge compaction (identity
+        # when none is pending) -- applied to the net hidden state inside
+        # the update program itself, saving a separate compaction dispatch
+        gather = np.arange(E_pad, dtype=np.int64)
+        pend = getattr(pg, "_pending_gather", None)
+        if pend is not None:
+            keep, nkeep = pend
+            gather[:] = 0
+            gather[:nkeep] = keep
+            pg._pending_gather = None
+
         packed = np.stack([
             padi(ii), padi(jj), padi(kk - k0),
             padi(kk % (self.pmem * M)), padi(jj % self.mem),
@@ -432,6 +562,7 @@ class SLAM:
             _pad_to(np.asarray(aux.inv_perm) if aux.inv_perm is not None
                     else np.zeros(0, np.int64), E_pad),
             np.asarray(aux.mask).astype(np.int64),
+            gather,
         ]).astype(np.int32)
         return k0, KWIN, jnp.asarray(packed)
 
@@ -693,6 +824,10 @@ class SLAM:
         return float(m)
 
     def keyframe(self, staging=False):
+        """Synchronous keyframe decision (reference slam.py:408-458): used
+        on the pre-init/override path and at termination. The fused
+        steady-state path instead queues the decision two frames deep
+        (see _call_fused) so the motion-magnitude pull never stalls."""
         cfg = self.cfg
         pg = self.pg
         i = pg.n - cfg.KEYFRAME_INDEX - 1
@@ -703,26 +838,63 @@ class SLAM:
         else:
             m = self.motionmag(i, j) + self.motionmag(j, i)
 
-        if m / 2 < cfg.KEYFRAME_THRESH:
-            k = pg.n - cfg.KEYFRAME_INDEX
+        k = pg.n - cfg.KEYFRAME_INDEX if m / 2 < cfg.KEYFRAME_THRESH else None
+        self._kf_apply(k, staging=staging)
+
+    def _decide_row(self, pid, mm):
+        """Resolve a queued keyframe decision: physical frame id -> current
+        buffer row, or None if the motion test passes / row is gone."""
+        pg = self.pg
+        m = float(np.asarray(mm).sum())
+        if m / 2 >= self.cfg.KEYFRAME_THRESH:
+            return None
+        rows = np.nonzero(pg.tstamps_[: pg.n] == pid)[0]
+        if len(rows) != 1 or rows[0] < 1:
+            return None
+        return int(rows[0])
+
+    def _kf_apply(self, k, staging=False, defer=False):
+        """Apply a keyframe-removal decision (k = row or None) plus the
+        per-frame edge retirement in ONE device compaction (or, with
+        ``defer``, zero extra dispatches: the compaction gather rides the
+        next fused update program)."""
+        cfg = self.cfg
+        pg = self.pg
+        M = self.M
+        removed = k is not None
+        if removed:
             t0 = pg.tstamps_[k - 1]
             t1 = pg.tstamps_[k]
-            to_remove = (pg.ii == k) | (pg.jj == k)
-            pg.remove_edges(to_remove, store=False)
-            pg.reindex_after_removal(k)
+            drop = (pg.ii == k) | (pg.jj == k)
+            # post-removal reindexing (reference slam.py:427-429), applied
+            # host-side so drop + retire compact the device state once
+            kk_post = np.where(pg.ii > k, pg.kk - M, pg.kk)
+            ii_post = np.where(pg.ii > k, pg.ii - 1, pg.ii)
+            jj_post = np.where(pg.jj > k, pg.jj - 1, pg.jj)
+            pg.kk_inac = np.where(pg.ii_inac > k, pg.kk_inac - M, pg.kk_inac)
+            pg.ii_inac = np.where(pg.ii_inac > k, pg.ii_inac - 1, pg.ii_inac)
+            pg.jj_inac = np.where(pg.jj_inac > k, pg.jj_inac - 1, pg.jj_inac)
+            n_after = pg.n - 1
+        else:
+            drop = np.zeros(len(pg.ii), bool)
+            ii_post, jj_post, kk_post = pg.ii, pg.jj, pg.kk
+            n_after = pg.n
 
+        # retire edges outside the optimization window
+        retire = (kk_post // M) < n_after - cfg.REMOVAL_WINDOW
+        if cfg.LOOP_CLOSURE:
+            lc_edges = ((jj_post - ii_post) > 30) & \
+                (jj_post > (n_after - cfg.OPTIMIZATION_WINDOW))
+            retire = retire & ~lc_edges
+        pg.remove_edges_combined(drop, retire & ~drop, ii_post, jj_post,
+                                 kk_post, defer=defer)
+
+        if removed:
             dP = self._shift_buffers(k, staging=staging)
             if dP is not None:
                 pg.delta[int(t1)] = (int(t0), dP)
             pg.n -= 1
             pg.m -= self.M
-
-        # retire edges outside the optimization window
-        to_remove = (pg.kk // self.M) < pg.n - cfg.REMOVAL_WINDOW
-        if cfg.LOOP_CLOSURE:
-            lc_edges = ((pg.jj - pg.ii) > 30) & (pg.jj > (pg.n - cfg.OPTIMIZATION_WINDOW))
-            to_remove = to_remove & ~lc_edges
-        pg.remove_edges(to_remove, store=True)
 
     def _shift_buffers(self, k, staging=False):
         """Delete frame k: shift frame rows left by one
@@ -736,14 +908,17 @@ class SLAM:
         pg.colors_[k : n - 1] = pg.colors_[k + 1 : n]
         pg.seg_[k : n - 1] = pg.seg_[k + 1 : n]
 
-        if span == self.cfg.KEYFRAME_INDEX - 1 + (1 if staging else 0):
+        if 1 <= span <= self.cfg.KEYFRAME_INDEX + 2:
+            # small-span removals (the steady-state case; the lagged
+            # decision queue makes span = KEYFRAME_INDEX+1 typical) use a
+            # fixed-span fused kernel -- one compile per distinct span
             (pg.poses_, pg.patches_, pg.intrinsics_, pg.imap_, pg.gmap_,
              pg.fmap1_, pg.fmap2_, pg.colors_dev, pg.seg_dev, pg.scale_,
              dP) = remove_keyframe_shift(
                 pg.poses_, pg.patches_, pg.intrinsics_, pg.imap_, pg.gmap_,
                 pg.fmap1_, pg.fmap2_, pg.colors_dev, pg.seg_dev, pg.scale_,
                 k, n,
-                SPAN=self.cfg.KEYFRAME_INDEX - 1 + (1 if staging else 0), M=M,
+                SPAN=span, M=M,
                 pmem=self.pmem, mem=self.mem,
             )
             return dP
@@ -795,6 +970,10 @@ class SLAM:
                 f"The buffer size is too small. You can increase it using "
                 f'"--opts BUFFER_SIZE={self.N*2}"'
             )
+
+        if (self.is_initialized and self.update_override is None
+                and self._frame_body is not None):
+            return self._call_fused(tstamp, image, intrinsics)
 
         if self.long_term_lc is not None:
             self.long_term_lc(image, n)
@@ -884,6 +1063,82 @@ class SLAM:
             self.viewer.update_image(image)
         return "Is keyframe"
 
+    def _call_fused(self, tstamp, image, intrinsics):
+        """Steady-state per-frame path: keyframe decision for the PREVIOUS
+        frame first (host, using the async-pulled motion magnitude), then
+        frame insert + update in a single fused dispatch. Operation order
+        matches the reference's update -> keyframe -> next frame
+        (slam.py:612-740); only the program boundaries differ."""
+        cfg, pg, M = self.cfg, self.pg, self.M
+
+        # apply the keyframe decision measured TWO frames ago: its motion
+        # magnitude finished computing during the previous frame's interval
+        # and was pulled asynchronously, so this never stalls the pipeline
+        # (the reference blocks on this value every frame, slam.py:399-406)
+        with Timer("keyframe", enabled=self.enable_timing):
+            defer = not cfg.LOOP_CLOSURE  # retired edges unused -> no dispatch
+            if len(self._kf_queue) >= 2:
+                pid, mm = self._kf_queue.pop(0)
+                self._kf_apply(self._decide_row(pid, mm), defer=defer)
+            else:
+                self._kf_apply(None, defer=defer)
+
+        n = pg.n
+        if self.long_term_lc is not None:
+            self.long_term_lc(image, n)
+
+        k1 = pg.counter
+        self.tlist.append(tstamp)
+        pref = getattr(self, "_prefetched", {})
+        image_dev = pref.pop(id(image), None)
+        if image_dev is None:
+            image_dev = jnp.asarray(np.asarray(image))
+        pg.tstamps_[n] = pg.counter
+        if n > 1 and cfg.MOTION_MODEL == "DAMPED_LINEAR":
+            *_, a, b, c = [1] * 3 + self.tlist
+            fac = float((c - b) / max(b - a, 1e-9))
+        else:
+            fac = 0.0
+        intr_key = tuple(np.asarray(intrinsics, np.float64))
+        intr_dev = self._intr_cache.get(intr_key)
+        if intr_dev is None:
+            intr_dev = jnp.asarray(
+                np.asarray(intrinsics, np.float64) / self.RES, jnp.float32)
+            self._intr_cache[intr_key] = intr_dev
+
+        pg.counter += 1
+        pg.n += 1
+        pg.m += M
+
+        if cfg.LOOP_CLOSURE:
+            if pg.n - self.last_global_ba >= cfg.GLOBAL_OPT_FREQ:
+                from ..loop.proximity import edges_loop
+                lkk, ljj = edges_loop(pg, cfg)
+                if len(lkk) > 0:
+                    self.last_global_ba = pg.n
+                    pg.append_edges(lkk // M, ljj, lkk)
+
+        kf, jf = self._edges_forw()
+        self.append_factors(kf, jf)
+        kb, jb = self._edges_back()
+        self.append_factors(kb, jb)
+
+        with Timer("frame+update", enabled=self.enable_timing):
+            self._fused_frame_update(image_dev, k1, fac, intr_dev)
+            if self.enable_timing:
+                jax.block_until_ready(pg.poses_)
+
+        if self.long_term_lc is not None:
+            try:
+                self.long_term_lc.attempt_loop_closure(pg.n)
+                self.long_term_lc.lc_callback()
+            except IndexError as e:
+                print(e)
+
+        if self.viewer is not None:
+            self.viewer.update_image(image)
+        return "Is keyframe"
+
     # ------------------------------------------------------------------
     def get_pose(self, t):
         if t in self.traj:
@@ -902,6 +1157,9 @@ class SLAM:
             return poses, np.array(self.tlist, np.float64)
 
         self.terminating = True
+        while self._kf_queue:
+            pid, mm = self._kf_queue.pop(0)
+            self._kf_apply(self._decide_row(pid, mm), staging=False)
         if getattr(self, "_pending_keyframe", False):
             self._pending_keyframe = False
             self.keyframe(staging=False)

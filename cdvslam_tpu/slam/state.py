@@ -69,6 +69,7 @@ class PatchGraph:
         self._target_inac = np.zeros((0, 2), np.float32)
         self._weight_inac = np.zeros((0, 2), np.float32)
         self._inac_pending = []   # deferred (device target, weight, mask)
+        self._pending_gather = None  # deferred edge compaction (keep, nkeep)
 
         # relative poses of removed (non-key) frames: t -> (t0, dP 7-vec np)
         self.delta = {}
@@ -167,10 +168,17 @@ class PatchGraph:
         return self._weight_inac
 
     def remove_edges_combined(self, drop_mask, retire_mask, ii_post, jj_post,
-                              kk_post):
+                              kk_post, defer=False):
         """Drop + retire in ONE device compaction. Masks are over the
         CURRENT edge list; (ii/jj/kk)_post are post-removal reindexed
-        values used for the retired store and the surviving list."""
+        values used for the retired store and the surviving list.
+
+        With ``defer`` the device compaction is not dispatched: the
+        survivor gather is stashed in ``_pending_gather`` and applied
+        INSIDE the next fused update program (saves one dispatch per
+        frame). Only valid when the retired targets/weights are never
+        consumed (LOOP_CLOSURE off) -- the fused program donates the
+        buffers the inactive store would reference."""
         drop_mask = np.asarray(drop_mask, bool)
         retire_mask = np.asarray(retire_mask, bool)
         gone = drop_mask | retire_mask
@@ -181,12 +189,17 @@ class PatchGraph:
             self.ii_inac = np.concatenate([self.ii_inac, ii_post[retire_mask]])
             self.jj_inac = np.concatenate([self.jj_inac, jj_post[retire_mask]])
             self.kk_inac = np.concatenate([self.kk_inac, kk_post[retire_mask]])
-            self._inac_pending.append(
-                (self.target, self.weight, self.E, retire_mask.copy()))
+            if not defer:
+                self._inac_pending.append(
+                    (self.target, self.weight, self.E, retire_mask.copy()))
         keep = np.nonzero(~gone)[0]
         self.ii = ii_post[~gone]
         self.jj = jj_post[~gone]
         self.kk = kk_post[~gone]
+        if defer:
+            self._pending_gather = (keep, len(keep))
+            self.net_valid = len(keep)
+            return
         from .kernels import compact_edge_state
         idx = np.zeros(self.cap, np.int64)
         idx[: len(keep)] = keep
