@@ -23,6 +23,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _corr_kernel_bf16(ii_ref, jj_ref, base_ref,      # scalar prefetch
+                      gmap_ref, frame_ref, out_ref,
+                      *, D, P, C):
+    """bf16 fast path: the whole window extraction runs on PACKED int32
+    (each i32 element = two adjacent bf16 ROWS, Mosaic's sublane packing),
+    so the expensive dynamic rotates touch HALF the bytes of the f32 path
+    and need no widening:
+      1. one full-width lane rotate brings the window columns to lane 0
+      2. a static 8-lane slice shrinks the working set ~32x
+      3. the row alignment is two TINY sublane rotates + an int merge that
+         re-pairs rows when the shift is odd (hi(A) | lo(B) << 16).
+    Bit-exact with the reference gather semantics."""
+    e = pl.program_id(0)
+    BAND = -(-(D + 8) // 8) * 8
+    for p in range(P * P):
+        iy = base_ref[e * 2 * P * P + 2 * p]
+        ix = base_ref[e * 2 * P * P + 2 * p + 1]
+        ay = pl.multiple_of((iy // 8) * 8, 8)
+        band = frame_ref[0, :, pl.ds(ay, BAND), :]     # (C, BAND, Wp) bf16
+        bp = pltpu.bitcast(band, jnp.int32)            # (C, BAND/2, Wp)
+        rot = pltpu.roll(bp, -ix, 2)                   # cols ix.. -> lane 0
+        rot = rot[:, :, :D]                            # (C, BAND/2, D)
+        r = iy - ay                                    # in [0, 8)
+        A = pltpu.roll(rot, -(r // 2), 1)
+        B = pltpu.roll(rot, -(r // 2) - 1, 1)
+        odd = ((A >> 16) & 0xFFFF) | (B << 16)         # re-pair odd shifts
+        sel = jnp.where((r % 2) == 0, A, odd)[:, : D // 2]
+        win = pltpu.bitcast(sel, jnp.bfloat16).astype(jnp.float32)
+        gv = gmap_ref[0, :, p].astype(jnp.float32)     # (C,)
+        dot = jnp.sum(win * gv[:, None, None], axis=0)
+        out_ref[0, p] = dot.astype(out_ref.dtype)
+
+
 def _corr_kernel(ii_ref, jj_ref, base_ref,           # scalar prefetch
                  gmap_ref, frame_ref, out_ref,
                  *, D, P, C):
@@ -93,8 +126,16 @@ def _corr_pallas_sorted(gmap, fmap_cl, coords, ii, jj, radius):
         ),
     )
 
+    # The packed-int32 variant halves roll bytes but measured SLOWER inside
+    # the fused frame program (narrow-lane int ops waste VPU tiles); keep it
+    # opt-in for future Mosaic versions. Measured per-edge cost decomposes
+    # as ~250 cyc/grid-step fixed + ~119 cyc/pixel either way.
+    import os
+    use_bf16 = (fmap_cl.dtype == jnp.bfloat16 and D % 2 == 0
+                and os.environ.get("CDVSLAM_CORR_PACKED") == "1")
+    kern = _corr_kernel_bf16 if use_bf16 else _corr_kernel
     vol = pl.pallas_call(
-        partial(_corr_kernel, D=D, P=P, C=C),
+        partial(kern, D=D, P=P, C=C),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((E, PP, D, D), gmap.dtype),
     )(ii.astype(jnp.int32), jj.astype(jnp.int32), base.astype(jnp.int32),
