@@ -1,0 +1,124 @@
+"""Lagged keyframe decisions (runtime._kf_queue): physical-frame-id row
+resolution, deferred edge compaction, and delta-chain bookkeeping must
+match the synchronous keyframe() semantics (reference slam.py:408-458)."""
+import numpy as np
+import jax.numpy as jnp
+
+from cdvslam_tpu.config import get_cfg
+from cdvslam_tpu.slam import SLAM
+
+
+def _zero_override(ii, jj, kk, center):
+    E = len(ii)
+    return np.zeros((E, 2), np.float32), np.full((E, 2), 0.5, np.float32)
+
+
+def _mk_slam(loop_closure=False):
+    cfg = get_cfg()
+    cfg.PATCHES_PER_FRAME = 4
+    cfg.BUFFER_SIZE = 64
+    cfg.KEYFRAME_INDEX = 2
+    cfg.REMOVAL_WINDOW = 6
+    cfg.LOOP_CLOSURE = loop_closure
+    slam = SLAM(cfg, network="dpv", ht=64, wd=96,
+                update_override=_zero_override)
+    return slam
+
+
+def _seed_frames(slam, n):
+    pg = slam.pg
+    M = slam.M
+    pg.n = n
+    pg.m = n * M
+    pg.counter = n
+    pg.tstamps_[:n] = np.arange(n)
+    pg.poses_ = pg.poses_.at[:n, 0].set(jnp.arange(n, dtype=jnp.float32))
+    # one edge block per frame pair (i -> i+1)
+    for i in range(n - 1):
+        kk = np.arange(i * M, (i + 1) * M)
+        pg.append_edges(kk // M, np.full(M, i + 1), kk)
+    return pg
+
+
+def test_decide_row_resolves_physical_id_after_removal():
+    slam = _mk_slam()
+    pg = _seed_frames(slam, 10)
+    # decision queued for physical frame id 5 (currently row 5)
+    low = jnp.asarray([0.1, 0.1])   # below KEYFRAME_THRESH -> remove
+    high = jnp.asarray([50.0, 50.0])
+    assert slam._decide_row(5, low) == 5
+    assert slam._decide_row(5, high) is None
+    # an earlier removal shifts rows: remove row 3 -> pid 5 now at row 4
+    slam._kf_apply(3, defer=False)
+    assert pg.n == 9
+    assert slam._decide_row(5, low) == 4
+    # removed pid no longer resolvable
+    assert slam._decide_row(3, low) is None
+
+
+def test_kf_apply_matches_reference_bookkeeping():
+    slam = _mk_slam()
+    pg = _seed_frames(slam, 10)
+    M = slam.M
+    E0 = pg.E
+    poses_before = np.asarray(pg.poses_[:10, 0])
+
+    k = 5
+    t1 = int(pg.tstamps_[k])
+    slam._kf_apply(k, defer=False)
+
+    # frame count and timestamps shifted
+    assert pg.n == 9
+    np.testing.assert_array_equal(pg.tstamps_[:9], [0, 1, 2, 3, 4, 6, 7, 8, 9])
+    # poses shifted left from row k
+    np.testing.assert_allclose(np.asarray(pg.poses_[:9, 0]),
+                               np.delete(poses_before, k), atol=1e-6)
+    # edges referencing k dropped, later ones reindexed
+    assert not np.any((pg.ii == 8) & False)  # shape sanity
+    assert pg.E < E0
+    assert not np.any(pg.ii == 9)            # max frame index shrank
+    assert np.all(pg.jj <= 8)
+    # delta chain records the removed frame against its predecessor
+    assert t1 in pg.delta
+    t0, dP = pg.delta[t1]
+    assert t0 == int(pg.tstamps_[k - 1])
+    assert np.isfinite(np.asarray(dP)).all()
+
+
+def test_deferred_compaction_defers_device_work():
+    slam = _mk_slam()
+    pg = _seed_frames(slam, 10)
+    net_before = pg.net
+    slam._kf_apply(5, defer=True)
+    # host lists updated immediately; device compaction left pending
+    assert pg._pending_gather is not None
+    keep, nkeep = pg._pending_gather
+    assert nkeep == pg.E and len(keep) == nkeep
+    assert pg.net is net_before            # untouched device buffer
+    assert pg.net_valid == nkeep
+    # the pending gather is consumed into the next packed upload (row 12)
+    E_pad = pg.bucket(pg.E)
+    pg._grow(E_pad)
+    _, _, packed = slam._prepare_update(pg.ii, pg.jj, pg.kk, E_pad)
+    g = np.asarray(packed)[12]
+    np.testing.assert_array_equal(g[:nkeep], keep)
+    assert pg._pending_gather is None
+    # without a pending compaction the gather row is identity
+    _, _, packed2 = slam._prepare_update(pg.ii, pg.jj, pg.kk, E_pad)
+    np.testing.assert_array_equal(np.asarray(packed2)[12], np.arange(E_pad))
+
+
+def test_queue_drain_at_terminate_applies_decisions():
+    slam = _mk_slam()
+    pg = _seed_frames(slam, 10)
+    slam.is_initialized = True
+    slam.tlist = list(range(10))
+    low = jnp.asarray([0.1, 0.1])
+    slam._kf_queue.append((int(pg.tstamps_[6]), low))
+    slam._kf_queue.append((int(pg.tstamps_[7]), low))
+    poses, tstamps = slam.terminate()
+    assert len(slam._kf_queue) == 0
+    # both frames were removed as keyframes but interpolated back
+    assert pg.n == 8
+    assert poses.shape == (10, 7)
+    assert np.isfinite(poses).all()
