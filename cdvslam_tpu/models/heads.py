@@ -18,6 +18,13 @@ class SegHeadFlatten(nn.Module):
     def seg_class(self, x):
         return jnp.argmax(self(x), axis=-1).astype(jnp.uint8)
 
+    def filt_mask(self, x, filt_index):
+        """True where the token's argmax class is a dynamic class
+        (reference net_cdv.py:595-600 get_filt). x: (L, C) raw normalized
+        tokens; filt_index: (K,) int array of dynamic class ids."""
+        cls = jnp.argmax(self(x), axis=-1)
+        return jnp.any(cls[:, None] == filt_index[None, :], axis=1)
+
 
 class DepthHeadFlatten(nn.Module):
     """AdaBins-style 256-bin linear depth head on [patch; cls] tokens

@@ -97,6 +97,21 @@ def select_score(key, score_map, M, scale_f2i, upperleft=True):
     return jnp.stack([x, y], -1).astype(jnp.float32), scores
 
 
+def seg_binary_score(filt_mask, n, hi, wi):
+    """Binary selection-score map from a per-token dynamic-class mask
+    (reference net_cdv.py:231-238): score 1 on static tokens, 0 on dynamic
+    tokens and on the image border rows/cols. Feeding this into
+    :func:`select_score` IS the reference's selection-time seg filtering
+    (no-score-head SCORE strategy).
+
+    filt_mask: (n*hi*wi,) bool, True = dynamic. Returns (n, hi, wi) float.
+    """
+    s = (~filt_mask).astype(jnp.float32).reshape(n, hi, wi)
+    s = s.at[:, 0, :].set(0.0).at[:, -1, :].set(0.0)
+    s = s.at[:, :, 0].set(0.0).at[:, :, -1].set(0.0)
+    return s
+
+
 def coords_grid_with_index(d):
     """(x, y, disp) grid (reference utils.py:39-54). d: (B,N,H,W)."""
     B, N, H, W = d.shape

@@ -62,7 +62,8 @@ def update_body(
     target_full,                # (cap, 2)                      [donated]
     weight_full,                # (cap, 2)                      [donated]
     weight_mul,                 # (E_pad, 2) dynamic-class down-weighting
-    packed,                     # (12, E_pad) int32: all edge index arrays
+    score_full,                 # (N*M,) per-patch selection scores
+    packed,                     # (13, E_pad) int32: all edge index arrays
     t0,                         # dynamic scalar
     k0,                         # dynamic scalar: patch-window base row
     net_valid,                  # dynamic: net rows >= this are stale -> 0
@@ -132,13 +133,16 @@ def update_body(
             method=type(model).update,
         )
     else:
-        n_gseg = E // max(1, getattr(model, "P", 3))  # unused placeholder
         net_new, d, w = model.apply(
             params, net[None], ctx, corrf, aux, KWIN, E,
             method=type(model).update,
         )
 
-    w = w.astype(jnp.float32) * weight_mul[None]
+    # score-weighted BA weights (reference net_cdv.py:543-545): each
+    # edge's weight is multiplied by its patch's selection score (1.0 for
+    # non-SCORE strategies), on top of the dynamic-class down-weighting
+    s_kk = jnp.take(score_full, kk_local + k0, mode="clip").astype(jnp.float32)
+    w = w.astype(jnp.float32) * weight_mul[None] * s_kk[None, :, None]
     center = coords[..., P // 2, P // 2, :]
     target = center[0] + d[0].astype(jnp.float32)
 
@@ -269,7 +273,7 @@ def compute_points(poses, patches, intr_full, ix):
 
 @partial(jax.jit, static_argnames=("SPAN", "M", "pmem", "mem"))
 def remove_keyframe_shift(poses, patches, intrinsics, imap_buf, gmap_buf,
-                          fmap1, fmap2, colors, seg, scale, k, n,
+                          fmap1, fmap2, colors, seg, scale, score, k, n,
                           *, SPAN: int, M: int, pmem: int, mem: int):
     """Delete frame k = n - KEYFRAME_INDEX: rows [k+1, k+1+SPAN) shift to
     [k, k+SPAN); ring slots i%pmem <- (i+1)%pmem for i in [k, k+SPAN).
@@ -296,6 +300,8 @@ def remove_keyframe_shift(poses, patches, intrinsics, imap_buf, gmap_buf,
     P = patches.shape[-1]
     srcp = jax.lax.dynamic_slice(patches, ((k + 1) * M, 0, 0, 0), (SPAN * M, 3, P, P))
     patches = jax.lax.dynamic_update_slice(patches, srcp, (k * M, 0, 0, 0))
+    srcs = jax.lax.dynamic_slice(score, ((k + 1) * M,), (SPAN * M,))
+    score = jax.lax.dynamic_update_slice(score, srcs, (k * M,))
 
     for s in range(SPAN):
         i = k + s
@@ -314,7 +320,7 @@ def remove_keyframe_shift(poses, patches, intrinsics, imap_buf, gmap_buf,
         fmap2 = jax.lax.dynamic_update_slice(fmap2, f2, (df, 0, 0, 0))
 
     return (poses, patches, intrinsics, imap_buf, gmap_buf, fmap1, fmap2,
-            colors, seg, scale, dP)
+            colors, seg, scale, score, dP)
 
 
 @jax.jit

@@ -233,13 +233,16 @@ class SLAM:
             depth_params = self.depth_params
             pmem, mem, N = self.pmem, self.mem, self.N
             damping = cfg.MOTION_DAMPING
+            filt_idx = (jnp.asarray(self.filt_index.astype(np.int32))
+                        if self.filt_index is not None else None)
             from ..lie import se3_exp, se3_inv, se3_log, se3_mul
             from ..ops.patchify import patchify as patchify_op
-            from ..models.patchifier import coords_grid_with_index
+            from ..models.patchifier import (
+                coords_grid_with_index, seg_binary_score)
 
             def frame_fn(params, image_u8, seed, poses, patches_buf, intr_buf,
                          imap_buf, gmap_buf, f1buf, f2buf, colors_buf,
-                         seg_buf, scale_buf, n, fac,
+                         seg_buf, scale_buf, score_buf, n, fac,
                          initialized, intr_row):
                 key = jax.random.fold_in(jax.random.PRNGKey(7), seed)
                 img = image_u8.astype(jnp.float32)
@@ -254,8 +257,24 @@ class SLAM:
                     nb, _, hf, wf = fmap.shape
                     hi, wi = tmap.shape[2], tmap.shape[3]
                     scale_f2i = 4.0 / 14.0
+                    score_row = jnp.ones((M,), jnp.float32)
                     if strategy == "SCORE" and score is not None:
-                        coords, _ = select_score(key, score, M, scale_f2i, upperleft)
+                        coords, score_row = select_score(
+                            key, score, M, scale_f2i, upperleft)
+                    elif strategy == "SCORE" and seg_head is not None:
+                        # no score head: selection-time dynamic-class
+                        # filtering -- binary non-dynamic score map with
+                        # zeroed borders (reference net_cdv.py:231-238)
+                        filt = seg_head.apply(
+                            seg_params, tn[0], filt_idx,
+                            method=type(seg_head).filt_mask)
+                        smap = seg_binary_score(filt, 1, hi, wi)
+                        coords, score_row = select_score(
+                            key, smap, M, scale_f2i, upperleft)
+                    elif strategy == "SCORE":
+                        raise ValueError(
+                            "SCORE selection needs a score head or seg head "
+                            "(reference net_cdv.py:318 asserts score_map)")
                     elif strategy == "RANDOM":
                         coords = select_random(key, nb, M, hf, wf)
                     else:
@@ -301,6 +320,7 @@ class SLAM:
                     patch_row = patch_row4[0].astype(jnp.float32)
                     clr = clr.astype(jnp.float32)
                     seg_row = jnp.zeros((M,), jnp.uint8)
+                    score_row = jnp.ones((M,), jnp.float32)
 
                 f1 = fmap[0]
                 f2 = pyramidify(fmap, (4,))[0][0]
@@ -341,9 +361,12 @@ class SLAM:
                 seg_buf = seg_buf.at[n].set(seg_row)
                 scale_buf = scale_buf.at[n].set(
                     jnp.mean(patch_row[:, 2, P // 2, P // 2]))
+                score_buf = jax.lax.dynamic_update_slice(
+                    score_buf, score_row.astype(score_buf.dtype), (n * M,))
 
                 return (poses, patches_buf, intr_buf, imap_buf, gmap_buf,
-                        f1buf, f2buf, colors_buf, seg_buf, scale_buf)
+                        f1buf, f2buf, colors_buf, seg_buf, scale_buf,
+                        score_buf)
 
             self._frame_body = frame_fn
             self._frame_fn = jax.jit(
@@ -352,11 +375,12 @@ class SLAM:
         out = self._frame_fn(
             self.cparams, image_u8, key, pg.poses_, pg.patches_, pg.intrinsics_,
             pg.imap_, pg.gmap_, pg.fmap1_, pg.fmap2_, pg.colors_dev,
-            pg.seg_dev, pg.scale_, pg.n, fac,
+            pg.seg_dev, pg.scale_, pg.score_dev, pg.n, fac,
             initialized, intr_row,
         )
         (pg.poses_, pg.patches_, pg.intrinsics_, pg.imap_, pg.gmap_,
-         pg.fmap1_, pg.fmap2_, pg.colors_dev, pg.seg_dev, pg.scale_) = out
+         pg.fmap1_, pg.fmap2_, pg.colors_dev, pg.seg_dev, pg.scale_,
+         pg.score_dev) = out
 
     # ------------------------------------------------------------------
     def _build_fused(self):
@@ -371,29 +395,30 @@ class SLAM:
             jax.jit,
             static_argnames=("NW", "KWIN", "EPAD", "GROUP_M", "iterations",
                              "is_cdv"),
-            donate_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 16, 17, 18),
+            donate_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 17, 18, 19),
         )
         def fused_fn(params, image_u8, seed, poses, patches_buf, intr_buf,
                      imap_buf, gmap_buf, f1buf, f2buf, colors_buf, seg_buf,
-                     scale_buf, n, fac, intr_row,
+                     scale_buf, score_buf, n, fac, intr_row,
                      net_full, target_full, weight_full, weight_mul, packed,
                      t0, k0, net_valid, ht4, wd4, mm_i, mm_j, *,
                      NW, KWIN, EPAD, GROUP_M, iterations, is_cdv):
             (poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf, f2buf,
-             colors_buf, seg_buf, scale_buf) = frame_body(
+             colors_buf, seg_buf, scale_buf, score_buf) = frame_body(
                 params, image_u8, seed, poses, patches_buf, intr_buf,
                 imap_buf, gmap_buf, f1buf, f2buf, colors_buf, seg_buf,
-                scale_buf, n, fac, True, intr_row)
+                scale_buf, score_buf, n, fac, True, intr_row)
             (poses, patches_buf, net_full, target_full, weight_full, _dn,
              mm) = update_body(
                 params, model, poses, patches_buf, intr_buf, imap_buf,
                 gmap_buf, f1buf, f2buf, net_full, target_full, weight_full,
-                weight_mul, packed, t0, k0, net_valid, ht4, wd4, mm_i, mm_j,
+                weight_mul, score_buf, packed, t0, k0, net_valid, ht4, wd4,
+                mm_i, mm_j,
                 NW=NW, KWIN=KWIN, EPAD=EPAD, GROUP_M=GROUP_M,
                 iterations=iterations, is_cdv=is_cdv)
             return (poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf,
-                    f2buf, colors_buf, seg_buf, scale_buf, net_full,
-                    target_full, weight_full, mm)
+                    f2buf, colors_buf, seg_buf, scale_buf, score_buf,
+                    net_full, target_full, weight_full, mm)
 
         return fused_fn
 
@@ -441,10 +466,11 @@ class SLAM:
 
         (pg.poses_, pg.patches_, pg.intrinsics_, pg.imap_, pg.gmap_,
          pg.fmap1_, pg.fmap2_, pg.colors_dev, pg.seg_dev, pg.scale_,
-         pg.net, pg.target, pg.weight, mm) = self._fused_fn(
+         pg.score_dev, pg.net, pg.target, pg.weight, mm) = self._fused_fn(
             self.cparams, image_u8, seed, pg.poses_, pg.patches_,
             pg.intrinsics_, pg.imap_, pg.gmap_, pg.fmap1_, pg.fmap2_,
-            pg.colors_dev, pg.seg_dev, pg.scale_, n_row, fac, intr_row,
+            pg.colors_dev, pg.seg_dev, pg.scale_, pg.score_dev, n_row, fac,
+            intr_row,
             pg.net, pg.target, pg.weight, weight_mul, packed,
             t0, k0, pg.net_valid, float(self.ht4), float(self.wd4), mi, mj,
             NW=self.NW, KWIN=KWIN, EPAD=E_pad,
@@ -594,8 +620,6 @@ class SLAM:
             # computed on device from the seg buffer
             from .kernels import dynamic_class_weight
             weight_mul = dynamic_class_weight(
-                pg.seg_dev, jnp.asarray(self.filt_index), packed[0] * self.M + 0,
-            ) if False else dynamic_class_weight(
                 pg.seg_dev, jnp.asarray(self.filt_index),
                 jnp.asarray(np.concatenate(
                     [pg.kk, np.zeros(E_pad - E, np.int64)]), jnp.int32),
@@ -638,7 +662,7 @@ class SLAM:
                 self.cparams, self.model, pg.poses_, pg.patches_, pg.intrinsics_,
                 pg.imap_, pg.gmap_, pg.fmap1_, pg.fmap2_,
                 pg.net, pg.target, pg.weight,
-                weight_mul, packed,
+                weight_mul, pg.score_dev, packed,
                 t0, k0, pg.net_valid, float(self.ht4), float(self.wd4), mi, mj,
                 NW=self.NW, KWIN=KWIN, EPAD=E_pad,
                 GROUP_M=self.M if self.is_cdv else 0,
@@ -795,7 +819,8 @@ class SLAM:
             self.cparams, self.model, pg.poses_, pg.patches_, pg.intrinsics_,
             pg.imap_, pg.gmap_, pg.fmap1_, pg.fmap2_,
             net, tgt, wgt,
-            wm, packed, 1, k0, E_pad, float(self.ht4), float(self.wd4), -1, -1,
+            wm, pg.score_dev, packed,
+            1, k0, E_pad, float(self.ht4), float(self.wd4), -1, -1,
             NW=self.NW, KWIN=KWIN, EPAD=E_pad,
             GROUP_M=self.M if self.is_cdv else 0,
             iterations=0, is_cdv=self.is_cdv,
@@ -914,10 +939,10 @@ class SLAM:
             # fixed-span fused kernel -- one compile per distinct span
             (pg.poses_, pg.patches_, pg.intrinsics_, pg.imap_, pg.gmap_,
              pg.fmap1_, pg.fmap2_, pg.colors_dev, pg.seg_dev, pg.scale_,
-             dP) = remove_keyframe_shift(
+             pg.score_dev, dP) = remove_keyframe_shift(
                 pg.poses_, pg.patches_, pg.intrinsics_, pg.imap_, pg.gmap_,
                 pg.fmap1_, pg.fmap2_, pg.colors_dev, pg.seg_dev, pg.scale_,
-                k, n,
+                pg.score_dev, k, n,
                 SPAN=span, M=M,
                 pmem=self.pmem, mem=self.mem,
             )
@@ -932,6 +957,7 @@ class SLAM:
         pg.intrinsics_ = gather_rows(pg.intrinsics_, fidx_j)
         pidx = (fidx[:, None] * M + np.arange(M)[None, :]).reshape(-1)
         pg.patches_ = gather_rows(pg.patches_, jnp.asarray(pidx))
+        pg.score_dev = gather_rows(pg.score_dev, jnp.asarray(pidx))
         ridx = np.arange(self.pmem)
         for i in range(k, n - 1):
             ridx[i % self.pmem] = (i + 1) % self.pmem

@@ -44,6 +44,9 @@ class PatchGraph:
         self.seg_dev = jnp.zeros((N, M), jnp.uint8)
         self.seg_ = np.zeros((N, M), np.uint8)
         self.scale_ = jnp.zeros(N, dtype)
+        # per-patch selection score (SCORE strategy keeps the sampled
+        # scores and they multiply the BA weights, net_cdv.py:543-545)
+        self.score_dev = jnp.ones(N * M, dtype)
 
         # feature ring buffers (network compute dtype, e.g. bf16)
         self.imap_ = jnp.zeros((pmem * M, DIM), fdtype)

@@ -99,14 +99,22 @@ def rollout_loss(params, model, cfg: RolloutConfig, images, gt_poses, gt_disps,
     intr_full = jnp.broadcast_to(intr4, (F, 4))
 
     # ---- features + patch extraction (all frames at once) ----
+    scores_all = jnp.ones((F * M,))
     if cfg.is_cdv:
         fmap = model.apply(params, images, method=type(model).features_f)
         tmap, *_ , score = model.apply(params, images, method=type(model).features_i)
         hf, wf = fmap.shape[2], fmap.shape[3]
         hi, wi = tmap.shape[2], tmap.shape[3]
         key, k1 = jax.random.split(key)
-        from ..models.patchifier import select_random_grid
-        coords = select_random_grid(k1, F, M, hi, wi, P, 4.0 / 14.0, True)
+        if getattr(model, "compute_score", False) and score is not None:
+            # score-head training: SCORE selection keeps the sampled
+            # scores, which multiply the BA weights (net_cdv.py:314-329,
+            # 543-545)
+            from ..models.patchifier import select_score
+            coords, scores_all = select_score(k1, score, M, 4.0 / 14.0, True)
+        else:
+            from ..models.patchifier import select_random_grid
+            coords = select_random_grid(k1, F, M, hi, wi, P, 4.0 / 14.0, True)
         from ..ops.patchify import patchify as patchify_op
         ictx = patchify_op(tmap, (4.0 / 14.0) * coords, 0, mode="upperleft")[..., 0, 0]
         ictx = model.apply(params, ictx, method=type(model).adapt)
@@ -234,7 +242,7 @@ def rollout_loss(params, model, cfg: RolloutConfig, images, gt_poses, gt_disps,
         net = net_b[0]
 
         target = coords[0, :, P // 2, P // 2, :] + d[0]
-        wgt = w[0] * active[:, None]
+        wgt = w[0] * active[:, None] * jnp.take(scores_all, kk, mode="clip")[:, None]
 
         Gs, patches = ba_solve(
             Gs, patches, intr4, target, wgt, ii, jj, kk, active,
