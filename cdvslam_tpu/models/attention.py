@@ -94,12 +94,13 @@ class EncoderLayer(nn.Module):
         v = nn.Dense(self.d_model, use_bias=False, name="v_proj")(x).reshape(bs, L, h, d)
         msg = LinearAttention()(q, k, v, encoding=encoding)
         msg = nn.Dense(self.d_model, use_bias=False, name="merge")(msg.reshape(bs, L, self.d_model))
-        msg = nn.LayerNorm(name="norm1")(msg)
+        # torch nn.LayerNorm default eps (layers.py:81-82) is 1e-5
+        msg = nn.LayerNorm(epsilon=1e-5, name="norm1")(msg)
         msg = jnp.concatenate([x, msg], axis=-1)
         msg = nn.Dense(2 * self.d_model, use_bias=False, name="mlp_0")(msg)
         msg = nn.relu(msg)
         msg = nn.Dense(self.d_model, use_bias=False, name="mlp_2")(msg)
-        msg = nn.LayerNorm(name="norm2")(msg)
+        msg = nn.LayerNorm(epsilon=1e-5, name="norm2")(msg)
         if only_residual:
             return msg
         return x + msg

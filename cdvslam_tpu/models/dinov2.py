@@ -17,6 +17,32 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _torch_bicubic_matrix(n_in: int, n_out: int, scale: float, A=-0.75):
+    """Row matrix reproducing torch F.interpolate(mode="bicubic",
+    align_corners=False) with an EXPLICIT scale_factor: source coordinate
+    src = (dst + 0.5) / scale - 0.5 (torch uses 1/scale_factor as the
+    ratio, NOT out/in -- this is why the reference's +0.1 trick,
+    dinov2.py:175-182, changes the sampling grid), cubic convolution
+    kernel with A = -0.75, replicate-clamped borders."""
+    W = np.zeros((n_out, n_in), np.float64)
+
+    def cub(x):
+        x = abs(x)
+        if x <= 1:
+            return ((A + 2) * x - (A + 3)) * x * x + 1
+        if x < 2:
+            return A * (((x - 5) * x + 8) * x - 4)
+        return 0.0
+
+    for o in range(n_out):
+        s = (o + 0.5) / scale - 0.5
+        i0 = int(np.floor(s))
+        for idx in range(i0 - 1, i0 + 3):
+            W[o, min(max(idx, 0), n_in - 1)] += cub(s - idx)
+    return W.astype(np.float32)
 
 
 class Attention(nn.Module):
@@ -97,13 +123,19 @@ class DinoVisionTransformer(nn.Module):
         self.out_norm = nn.LayerNorm(epsilon=1e-6, name="norm")
 
     def _interp_pos(self, h0, w0, dtype):
-        """Bicubic pos-embed resize (reference dinov2.py:163-187)."""
+        """Bicubic pos-embed resize, bit-matching the reference's
+        F.interpolate(scale_factor=(h0+0.1)/N, mode="bicubic")
+        (dinov2.py:163-187). h0/w0 are static -> the two small sampling
+        matrices are host-built constants; the resize itself is two tiny
+        matmuls."""
         N = self.pos_grid
         if h0 == N and w0 == N:
             return self.pos_embed.astype(dtype)
         cls_pe = self.pos_embed[:, :1].astype(jnp.float32)
         patch_pe = self.pos_embed[:, 1:].astype(jnp.float32).reshape(1, N, N, self.embed_dim)
-        patch_pe = jax.image.resize(patch_pe, (1, h0, w0, self.embed_dim), method="bicubic")
+        Wh = jnp.asarray(_torch_bicubic_matrix(N, h0, (h0 + 0.1) / N))
+        Ww = jnp.asarray(_torch_bicubic_matrix(N, w0, (w0 + 0.1) / N))
+        patch_pe = jnp.einsum("hH,bHWd,wW->bhwd", Wh, patch_pe, Ww)
         patch_pe = patch_pe.reshape(1, h0 * w0, self.embed_dim)
         return jnp.concatenate([cls_pe, patch_pe], axis=1).astype(dtype)
 

@@ -67,8 +67,10 @@ class _UpdateCommon(nn.Module):
         mask_ix = (aux.ix >= 0).astype(net.dtype)[None, :, None]
         mask_jx = (aux.jx >= 0).astype(net.dtype)[None, :, None]
         gi = jnp.take(net, jnp.clip(aux.ix, 0, None), axis=1, mode="clip")
-        gj = jnp.take(net, jnp.clip(aux.jx, 0, None), axis=1, mode="clip")
         net = net + MLP2(DIM, name="c1")(mask_ix * gi)
+        # c2 gathers from the net AFTER the c1 message was added
+        # (reference net_cdv.py:140-141 reassigns net between the gathers)
+        gj = jnp.take(net, jnp.clip(aux.jx, 0, None), axis=1, mode="clip")
         net = net + MLP2(DIM, name="c2")(mask_jx * gj)
 
         net = net + SoftAgg(DIM, name="agg_kk")(net, aux.kseg, n_kseg, mask=aux.mask)
