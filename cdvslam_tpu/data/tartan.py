@@ -209,11 +209,39 @@ def build_scene_info(datapath, out_path="datasets/TartanAir.pickle"):
     return scene_info
 
 
-def _frame_graph(poses, depth_files, intrinsics, f=16, max_flow=256):
-    """Mean-flow distance matrix between frames (rgbd_utils.py:103-188),
-    numpy implementation."""
-    from ..lie import SE3, se3_inv, se3_mul
-    import jax.numpy as jnp
+def _quat_to_R(q):
+    """(..., 4) xyzw quaternion -> (..., 3, 3) rotation matrix."""
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    n = x * x + y * y + z * z + w * w
+    s = np.where(n > 0, 2.0 / np.maximum(n, 1e-12), 0.0)
+    R = np.empty(q.shape[:-1] + (3, 3), q.dtype)
+    R[..., 0, 0] = 1 - s * (y * y + z * z)
+    R[..., 0, 1] = s * (x * y - w * z)
+    R[..., 0, 2] = s * (x * z + w * y)
+    R[..., 1, 0] = s * (x * y + w * z)
+    R[..., 1, 1] = 1 - s * (x * x + z * z)
+    R[..., 1, 2] = s * (y * z - w * x)
+    R[..., 2, 0] = s * (x * z - w * y)
+    R[..., 2, 1] = s * (y * z + w * x)
+    R[..., 2, 2] = 1 - s * (x * x + y * y)
+    return R
+
+
+def _frame_graph(poses, depth_files, intrinsics, f=16, max_flow=256,
+                 window=None):
+    """Bidirectional mean-flow distance matrix between frames
+    (reference rgbd_utils.py:103-141 compute_distance_matrix_flow +
+    base.py:64-83 build_frame_graph), vectorized numpy.
+
+    Matches the reference semantics: flow magnitudes clamped at
+    MAX_FLOW=100, validity = transformed depth > 0.2, pairs with < 70%
+    valid points set to inf, both warp directions averaged together,
+    final distances scaled by the depth stride ``f``. ``window``
+    optionally restricts pairs to |i-j| <= window (the reference does
+    all pairs on GPU; a window keeps host building tractable — frames
+    further apart than ~window are beyond max_flow anyway).
+    """
+    MAX_FLOW = 100.0
 
     def read_disp(fn):
         d = np.load(fn)[f // 2::f, f // 2::f] / DEPTH_SCALE
@@ -221,31 +249,46 @@ def _frame_graph(poses, depth_files, intrinsics, f=16, max_flow=256):
         return 1.0 / d
 
     disps = np.stack([read_disp(fn) for fn in depth_files], 0)
-    intr = np.array(intrinsics[0]) / f
+    intr = np.asarray(intrinsics[0], np.float64) / f
     N, h, w = disps.shape
     fx, fy, cx, cy = intr
 
+    # w2c relative transforms from c2w pose vectors (tx ty tz qx qy qz qw)
+    t = poses[:, :3].astype(np.float64)
+    R = _quat_to_R(poses[:, 3:].astype(np.float64))        # c2w rotation
+
     yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    graph = {}
-    # pairwise mean flow via pinhole warp (coarse, f-strided)
-    poses_j = jnp.asarray(poses.astype(np.float32))
-    inv_poses = np.asarray(se3_inv(poses_j))
-    d = np.full((N, N), 1e9, np.float32)
+    grid = np.stack([xx, yy], -1).reshape(-1, 2).astype(np.float64)
+    # camera-frame points per frame i (f-strided pixel grid)
+    Z = 1.0 / disps.reshape(N, -1).astype(np.float64)      # (N, hw)
+    X = (grid[None, :, 0] - cx) / fx * Z
+    Y = (grid[None, :, 1] - cy) / fy * Z
+    Pc = np.stack([X, Y, Z], -1)                           # (N, hw, 3)
+
+    def pair_flow(i, j):
+        """(sum of clamped flow * val, sum of val) for warp i->j."""
+        # X_j = R_j^T (R_i X_i + t_i - t_j)
+        Pj = (Pc[i] @ R[i].T + (t[i] - t[j])) @ R[j]
+        z = Pj[:, 2]
+        val = z > 0.2
+        zc = np.where(val, z, 1.0)
+        u = fx * Pj[:, 0] / zc + cx
+        v = fy * Pj[:, 1] / zc + cy
+        mag = np.minimum(np.hypot(u - grid[:, 0], v - grid[:, 1]), MAX_FLOW)
+        return float((mag * val).sum()), int(val.sum())
+
+    d = np.full((N, N), np.inf, np.float32)
+    hw = grid.shape[0]
     for i in range(N):
-        X = (xx - cx) / fx / disps[i]
-        Y = (yy - cy) / fy / disps[i]
-        Z = 1.0 / disps[i]
-        Pw = np.asarray(
-            SE3(jnp.asarray(inv_poses[i])[None]).act(
-                jnp.asarray(np.stack([X, Y, Z], -1).reshape(1, -1, 3), jnp.float32))
-        )[0]
-        for j in range(max(0, i - 40), min(N, i + 40)):
-            Pc = np.asarray(SE3(poses_j[j][None]).act(jnp.asarray(Pw[None])))[0]
-            zc = np.clip(Pc[:, 2], 0.1, None)
-            u = fx * Pc[:, 0] / zc + cx
-            v = fy * Pc[:, 1] / zc + cy
-            flow = np.sqrt((u - xx.reshape(-1)) ** 2 + (v - yy.reshape(-1)) ** 2)
-            d[i, j] = f * np.mean(flow)
+        j0, j1 = (0, N) if window is None else (
+            max(0, i - window), min(N, i + window + 1))
+        for j in range(j0, j1):
+            # both directions, joint validity mean (rgbd_utils.py:123-136)
+            s1, n1 = pair_flow(i, j)
+            s2, n2 = pair_flow(j, i)
+            if n1 + n2 >= 0.7 * 2 * hw:
+                d[i, j] = f * (s1 + s2) / (n1 + n2)
+    graph = {}
     for i in range(N):
         (j,) = np.where(d[i] < max_flow)
         graph[i] = (j, d[i, j])

@@ -16,12 +16,13 @@ from .ate import ate_rmse, associate_timestamps
 
 
 def run_sequence(cfg, imagedir, calib, stride=1, skip=0, version="cdv",
-                 network="", viz=False, params=None):
+                 network="", viz=False, params=None, crop_border=None):
     """Run the SLAM loop over an image directory; returns (poses, tstamps)."""
     from ..slam import SLAM
     from ..slam.stream import image_stream, start_reader
 
-    q, th = start_reader(image_stream, imagedir, calib, stride, skip)
+    q, th = start_reader(image_stream, imagedir, calib, stride, skip,
+                         crop_border=crop_border)
     slam = None
     while True:
         t, image, intrinsics = q.get()
@@ -87,6 +88,29 @@ def default_parser(datadir_flag, datadir_default):
     parser.add_argument("--opts", nargs="+", default=[])
     parser.add_argument("--save_trajectory", action="store_true")
     return parser
+
+
+def save_results(name, results, summary, expname="", network=""):
+    """Append per-scene results + command line to results/{name}_{exp}.txt
+    and write a timestamped snapshot (reference evaluate_tartan.py:148-150,
+    232-244)."""
+    import datetime
+    import sys
+
+    os.makedirs("results", exist_ok=True)
+    path = os.path.join("results", f"{name}_{expname}.txt")
+    with open(path, "a") as f:
+        print(network, "\n", file=f)
+        print(" ".join(sys.argv), "\n", file=f)
+        for k, v in results.items():
+            print(k, v, file=f)
+        print(summary, "\n", file=f)
+    stamp = datetime.datetime.now().strftime("%m-%d-%I%p")
+    with open(os.path.join("results", f"{name}-{stamp}.txt"), "w") as f:
+        all_vals = [x for v in results.values()
+                    for x in (v if isinstance(v, (list, tuple)) else [v])]
+        f.write(",".join(str(x) for x in all_vals))
+    return path
 
 
 def load_cfg(args):

@@ -71,6 +71,25 @@ class CDVNet(nn.Module):
             score_map = self.score_head(tokens_norm).reshape(N, h, w)
         return tmap, tokens_norm, tokens_raw, cls_raw, score_map
 
+    def features_i_taps(self, images):
+        """features_i plus the four RAW (pre-norm) DINO tap maps for the
+        DPT depth head (reference net_cdv.py:217-221, 254-260): list of
+        ((N, h, w, 384) token map, (N, 384) cls) pairs in tap order."""
+        imgs = pad_to_multiple(images, int(SCALEI), "right")
+        N, Hp, Wp, _ = imgs.shape
+        taps = self.dino(imgs, taps=(2, 5, 8, 11))
+        last = taps[-1]
+        tokens_norm = self.dino.norm_tokens(last)[:, 1:]
+        cls_raw = last[:, 0]
+        tokens_raw = last[:, 1:]
+        h, w = Hp // int(SCALEI), Wp // int(SCALEI)
+        tmap = tokens_norm.reshape(N, h, w, DIMI).transpose(0, 3, 1, 2) / 4.0
+        score_map = None
+        if self.compute_score:
+            score_map = self.score_head(tokens_norm).reshape(N, h, w)
+        tap_pairs = [(t[:, 1:].reshape(N, h, w, DIMI), t[:, 0]) for t in taps]
+        return tmap, tokens_norm, tokens_raw, cls_raw, score_map, tap_pairs
+
     def adapt(self, ictx):
         """dino_adapter on gathered context vectors (net_cdv.py:355-357)."""
         if self.dino_adapt:

@@ -280,3 +280,55 @@ def load_depth_head(path):
 
     sd = {k: v.numpy() for k, v in torch.load(path, map_location="cpu").items()}
     return {"params": {"linear": _lin(sd, "linear")}}
+
+
+def _convT(sd, name):
+    """torch ConvTranspose2d (I, O, kh, kw) -> flax ConvTranspose kernel
+    (kh, kw, I, O), spatially flipped (flax conv_transpose does not flip)."""
+    w = np.asarray(sd[f"{name}.weight"], np.float32)
+    out = {"kernel": w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1).copy()}
+    if f"{name}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{name}.bias"], np.float32)
+    return out
+
+
+def load_dpt_head(path):
+    """DPT depth-head checkpoint (dinov2_vits14_nyu_dpt_head.pth) -> flax
+    variables for models.dpt.DPTHead.
+
+    Key mapping follows reference slam.py:170-177 (strip 'decode_head.')
+    and DINO_modules/hub/dpt/depth_head_mm.py module names.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu")
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        ckpt = ckpt["state_dict"]
+    sd = {k.replace("decode_head.", ""): v.numpy() for k, v in ckpt.items()}
+
+    ra = "reassemble_blocks."
+    reassemble = {}
+    for i in range(4):
+        reassemble[f"readout{i}"] = _lin(sd, f"{ra}readout_projects.{i}.0")
+        reassemble[f"project{i}"] = _conv(sd, f"{ra}projects.{i}.conv")
+    reassemble["up4"] = _convT(sd, f"{ra}resize_layers.0")
+    reassemble["up2"] = _convT(sd, f"{ra}resize_layers.1")
+    reassemble["down2"] = _conv(sd, f"{ra}resize_layers.3")
+
+    def _pre_act_unit(prefix):
+        return {"conv1": _conv(sd, f"{prefix}.conv1.conv"),
+                "conv2": _conv(sd, f"{prefix}.conv2.conv")}
+
+    params = {"reassemble": reassemble}
+    for i in range(4):
+        params[f"conv{i}"] = _conv(sd, f"convs.{i}.conv")
+        fu = {"project": _conv(sd, f"fusion_blocks.{i}.project.conv"),
+              "res2": _pre_act_unit(f"fusion_blocks.{i}.res_conv_unit2")}
+        if i > 0:  # fusion_blocks[0].res_conv_unit1 = None (depth_head_mm.py:267)
+            fu["res1"] = _pre_act_unit(f"fusion_blocks.{i}.res_conv_unit1")
+        params[f"fusion{i}"] = fu
+    params["project"] = _conv(sd, "project.conv")
+    params["head0"] = _conv(sd, "conv_depth.head.0")
+    params["head2"] = _conv(sd, "conv_depth.head.2")
+    params["head4"] = _conv(sd, "conv_depth.head.4")
+    return {"params": params}

@@ -96,7 +96,8 @@ class DPTHead(nn.Module):
         out = FeatureFusionBlock(self.channels, first=True, name="fusion0")(x[-1])
         for i in range(1, len(x)):
             out = FeatureFusionBlock(self.channels, name=f"fusion{i}")(out, x[-(i + 1)])
-        out = nn.Conv(self.channels, (3, 3), padding=1, name="project")(out)
+        # ConvModule default act: ReLU after project (depth_head_mm.py:268)
+        out = nn.relu(nn.Conv(self.channels, (3, 3), padding=1, name="project")(out))
         # HeadDepth tail (depth_head_mm.py:40-53)
         out = nn.Conv(self.channels // 2, (3, 3), padding=1, name="head0")(out)
         out = _resize(out, (2 * out.shape[1], 2 * out.shape[2]), align_corners=True)

@@ -100,6 +100,7 @@ class SLAM:
         # optional seg/depth heads (reference slam.py:129-183)
         self.seg_params = None
         self.depth_params = None
+        self.depth_is_dpt = False
         self.filt_index = None
         if self.is_cdv:
             self._setup_heads()
@@ -162,13 +163,31 @@ class SLAM:
                 from ..models.datamaps import ADE20K_INDEX_FILT
                 self.filt_index = np.asarray(ADE20K_INDEX_FILT, np.uint8)
         if cfg.DEPTH_HEAD and cfg.DEPTH_HEAD != "None":
-            self.depth_head = DepthHeadFlatten()
-            if cfg.DEPTH_HEAD == "random":
-                self.depth_params = self.depth_head.init(
-                    jax.random.PRNGKey(12), jnp.zeros((1, 768)))
+            # 'dpt' selects the dense DPT head on the four DINO taps,
+            # anything else the linear token head (reference slam.py:160-183)
+            self.depth_is_dpt = "dpt" in cfg.DEPTH_HEAD
+            from pathlib import Path
+            if self.depth_is_dpt:
+                from ..models.dpt import DPTHead
+                self.depth_head = DPTHead()
+                if cfg.DEPTH_HEAD in ("dpt", "dpt_random"):
+                    hi = -(-self.ht // 14)
+                    wi = -(-self.wd // 14)
+                    taps = [(jnp.zeros((1, hi, wi, 384)), jnp.zeros((1, 384)))
+                            for _ in range(4)]
+                    self.depth_params = self.depth_head.init(
+                        jax.random.PRNGKey(12), taps)
+                elif Path(cfg.DEPTH_HEAD).exists():
+                    from ..models.convert import load_dpt_head
+                    self.depth_params = load_dpt_head(cfg.DEPTH_HEAD)
+                else:
+                    warn(f"depth head checkpoint not found: {cfg.DEPTH_HEAD}")
             else:
-                from pathlib import Path
-                if Path(cfg.DEPTH_HEAD).exists():
+                self.depth_head = DepthHeadFlatten()
+                if cfg.DEPTH_HEAD == "random":
+                    self.depth_params = self.depth_head.init(
+                        jax.random.PRNGKey(12), jnp.zeros((1, 768)))
+                elif Path(cfg.DEPTH_HEAD).exists():
                     from ..models.convert import load_depth_head
                     self.depth_params = load_depth_head(cfg.DEPTH_HEAD)
                 else:
@@ -231,6 +250,8 @@ class SLAM:
             seg_params = self.seg_params
             depth_head = getattr(self, "depth_head", None) if self.depth_params is not None else None
             depth_params = self.depth_params
+            depth_is_dpt = self.depth_is_dpt
+            scale_factor = getattr(self, "scale_factor", 20.0)
             pmem, mem, N = self.pmem, self.mem, self.N
             damping = cfg.MOTION_DAMPING
             filt_idx = (jnp.asarray(self.filt_index.astype(np.int32))
@@ -251,9 +272,15 @@ class SLAM:
 
                 if is_cdv:
                     fmap = model.apply(params, image, method=CDVNet.features_f)
-                    tmap, tn, trw, cls, score = model.apply(
-                        params, image, method=CDVNet.features_i
-                    )
+                    tap_pairs = None
+                    if depth_head is not None and depth_is_dpt:
+                        tmap, tn, trw, cls, score, tap_pairs = model.apply(
+                            params, image, method=CDVNet.features_i_taps
+                        )
+                    else:
+                        tmap, tn, trw, cls, score = model.apply(
+                            params, image, method=CDVNet.features_i
+                        )
                     nb, _, hf, wf = fmap.shape
                     hi, wi = tmap.shape[2], tmap.shape[3]
                     scale_f2i = 4.0 / 14.0
@@ -292,20 +319,30 @@ class SLAM:
                     gmap = patchify_op(fmap, coords, P // 2, mode="bilinear")
                     img_nchw = image_f32.transpose(0, 3, 1, 2)
                     clr = patchify_op(img_nchw, 4 * (coords + 0.5), 0, mode="bilinear")[..., 0, 0]
-                    disps = jnp.ones((nb, hf, wf), jnp.float32)
+                    if depth_head is not None:
+                        # dense monocular depth -> inverse-depth grid at
+                        # (hf, wf), sampled into the patch grid like the
+                        # reference (net_cdv.py:242-260, 363-368)
+                        if depth_is_dpt:
+                            dm = depth_head.apply(
+                                depth_params, tap_pairs)[..., 0]
+                        else:
+                            # linear head over the RAW last-layer tokens
+                            # + cls (net_cdv.py:244-251)
+                            tok = jnp.concatenate(
+                                [trw[0].astype(jnp.float32),
+                                 jnp.broadcast_to(cls.astype(jnp.float32),
+                                                  (hi * wi, 384))], axis=-1)
+                            dm = depth_head.apply(
+                                depth_params, tok)[:, 0].reshape(1, hi, wi)
+                        dm = jnp.clip(dm / scale_factor, 1e-3, None)
+                        disps = jax.image.resize(
+                            1.0 / dm, (nb, hf, wf), method="bilinear"
+                        ).astype(jnp.float32)
+                    else:
+                        disps = jnp.ones((nb, hf, wf), jnp.float32)
                     grid = coords_grid_with_index(disps[None])[0]
                     patch_row = patchify_op(grid, coords, P // 2, mode="bilinear")[0]
-                    if depth_head is not None:
-                        # per-patch monocular inverse-depth init
-                        # (reference net_cdv.py:242-252, slam.py:668-670)
-                        tok = jnp.concatenate(
-                            [(ictx[0] * 4.0).astype(jnp.float32),
-                             jnp.broadcast_to(cls.astype(jnp.float32), (M, 384))],
-                            axis=-1)
-                        dpt = depth_head.apply(depth_params, tok)[:, 0]
-                        dinit = 1.0 / jnp.clip(dpt / (80.0 / 4.0), 0.05, None)
-                        patch_row = patch_row.at[:, 2].set(
-                            jnp.broadcast_to(dinit[:, None, None], (M, P, P)))
                 else:
                     fmap, imap = model.apply(params, image, method=VONet.features)
                     nb, _, hf, wf = fmap.shape

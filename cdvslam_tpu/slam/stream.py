@@ -1,7 +1,7 @@
 """Frame streams: directory-of-images and video readers.
 
-Mirrors reference cdvslam/stream.py: 4-or-8 number calib files
-(fx fy cx cy [k1 k2 p1 p2]), cv2 undistortion, crop to multiple of 16,
+Mirrors reference cdvslam/stream.py: 4/8/9-number calib files
+(fx fy cx cy [k1 k2 p1 p2 [k3]]), cv2 undistortion, crop to multiple of 16,
 video path at half resolution; runs in a background thread feeding a
 bounded queue (the reference uses a process + mp.Queue; TPU buffers are
 host-fed anyway, so a thread suffices and avoids pickling).
@@ -25,8 +25,17 @@ def load_calib(calib_path):
     return calib, K
 
 
-def image_stream(q, imagedir, calib, stride, skip=0):
-    """Image-directory generator feeding queue q (reference stream.py:9-42)."""
+def image_stream(q, imagedir, calib, stride, skip=0, crop_border=None,
+                 use_tstamp_names=False):
+    """Image-directory generator feeding queue q (reference stream.py:9-42).
+
+    crop_border=(by, bx): after undistortion, crop ``by`` rows from the
+    top/bottom and ``bx`` columns from the left/right and shift the
+    principal point accordingly — the reference's TUM distortion-boundary
+    crop (reference evaluate_tum.py:44-47). use_tstamp_names: emit the
+    float value of the filename stem as the timestamp (TUM-style) instead
+    of the frame counter.
+    """
     import cv2
 
     calib, K = load_calib(calib)
@@ -40,9 +49,16 @@ def image_stream(q, imagedir, calib, stride, skip=0):
             image = cv2.undistort(image, K, calib[4:])
 
         intrinsics = np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]])
+        if crop_border is not None:
+            by, bx = crop_border
+            image = image[by:-by if by else None, bx:-bx if bx else None]
+            intrinsics[2] -= bx
+            intrinsics[3] -= by
         h, w, _ = image.shape
         image = image[: h - h % 16, : w - w % 16]
 
+        if use_tstamp_names:
+            t = float(imfile.stem)
         q.put((t, image, intrinsics))
 
     q.put((-1, image, intrinsics))
@@ -80,9 +96,11 @@ def video_stream(q, imagedir, calib, stride, skip=0):
     cap.release()
 
 
-def start_reader(target, imagedir, calib, stride=1, skip=0, maxsize=8):
+def start_reader(target, imagedir, calib, stride=1, skip=0, maxsize=8,
+                 **kwargs):
     """Launch the reader thread; returns the queue."""
     q = queue.Queue(maxsize=maxsize)
-    th = threading.Thread(target=target, args=(q, imagedir, calib, stride, skip), daemon=True)
+    th = threading.Thread(target=target, args=(q, imagedir, calib, stride, skip),
+                          kwargs=kwargs, daemon=True)
     th.start()
     return q, th

@@ -8,7 +8,7 @@ import glob
 import numpy as np
 
 from cdvslam_tpu.eval.harness import (
-    default_parser, load_cfg, run_sequence, evaluate_against_tum_gt, summarize,
+    default_parser, load_cfg, run_sequence, evaluate_against_tum_gt, summarize, save_results,
 )
 
 EUROC_SCENES = [
@@ -42,7 +42,10 @@ def main():
             results[scene].append(ate)
             print(f"{scene} trial {trial+1}: ATE {ate:.4f}")
 
-    print(summarize(results))
+    summary = summarize(results)
+    print(summary)
+    save_results("euroc", results, summary, expname=args.expname,
+                 network=args.network)
 
 
 if __name__ == "__main__":

@@ -5,7 +5,7 @@ import os.path as osp
 import numpy as np
 
 from cdvslam_tpu.eval.harness import (
-    default_parser, load_cfg, run_sequence, evaluate_against_tum_gt, summarize,
+    default_parser, load_cfg, run_sequence, evaluate_against_tum_gt, summarize, save_results,
 )
 
 ICL_SCENES = [
@@ -35,7 +35,10 @@ def main():
             ate = evaluate_against_tum_gt(traj, np.asarray(tstamps), gt, max_diff=0.5)
             results[scene].append(ate)
             print(f"{scene} trial {trial+1}: ATE {ate:.4f}")
-    print(summarize(results))
+    summary = summarize(results)
+    print(summary)
+    save_results("icl_nuim", results, summary, expname=args.expname,
+                 network=args.network)
 
 
 if __name__ == "__main__":

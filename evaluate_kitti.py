@@ -10,7 +10,7 @@ import os.path as osp
 import numpy as np
 
 from cdvslam_tpu.eval.harness import (
-    default_parser, load_cfg, run_sequence, summarize,
+    default_parser, load_cfg, run_sequence, summarize, save_results,
 )
 from cdvslam_tpu.eval import ate_rmse
 
@@ -55,7 +55,10 @@ def main():
             ate = ate_rmse(traj[:n, :3], gt[:n], align=True, correct_scale=True)
             results[seq].append(ate)
             print(f"KITTI {seq} trial {trial+1}: ATE {ate:.4f}")
-    print(summarize(results))
+    summary = summarize(results)
+    print(summary)
+    save_results("kitti", results, summary, expname=args.expname,
+                 network=args.network)
 
 
 if __name__ == "__main__":

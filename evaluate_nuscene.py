@@ -5,7 +5,7 @@ import os.path as osp
 import numpy as np
 
 from cdvslam_tpu.eval.harness import (
-    default_parser, load_cfg, run_sequence, summarize,
+    default_parser, load_cfg, run_sequence, summarize, save_results,
 )
 from cdvslam_tpu.eval import ate_rmse
 
@@ -43,7 +43,10 @@ def main():
                 ate = float("nan")
             results[scene].append(ate)
             print(f"{scene} trial {trial+1}: ATE {ate:.4f}")
-    print(summarize(results))
+    summary = summarize(results)
+    print(summary)
+    save_results("nuscene", results, summary, expname=args.expname,
+                 network=args.network)
 
 
 if __name__ == "__main__":

@@ -11,7 +11,7 @@ import os.path as osp
 import numpy as np
 
 from cdvslam_tpu.eval.harness import (
-    default_parser, load_cfg, run_sequence, summarize,
+    default_parser, load_cfg, run_sequence, summarize, save_results,
 )
 from cdvslam_tpu.eval import ate_rmse
 
@@ -54,7 +54,10 @@ def evaluate(datapath="datasets/TartanAir", cfg=None, args=None, trials=1, split
         for _ in range(trials):
             results[key].append(evaluate_scene(cfg, scene, args))
         print(key, sorted(results[key]))
-    return summarize(results)
+    summary = summarize(results)
+    save_results("tartan", results, summary, expname=args.expname,
+                 network=args.network)
+    return summary
 
 
 def main():

@@ -8,7 +8,7 @@ import glob
 import numpy as np
 
 from cdvslam_tpu.eval.harness import (
-    default_parser, load_cfg, run_sequence, evaluate_against_tum_gt, summarize,
+    default_parser, load_cfg, run_sequence, evaluate_against_tum_gt, summarize, save_results,
 )
 
 TUM_SCENES = [
@@ -31,16 +31,22 @@ def main():
             continue
         results[scene] = []
         for trial in range(args.trials):
-            traj, _ = run_sequence(cfg, imagedir, "calib/tum3.txt",
+            # fr1 intrinsics + distortion with the reference's boundary
+            # crop (reference evaluate_tum.py:29-47)
+            traj, _ = run_sequence(cfg, imagedir, "calib/tum1.txt",
                                    args.stride, version=args.version,
-                                   network=args.network, viz=args.viz)
+                                   network=args.network, viz=args.viz,
+                                   crop_border=(8, 16))
             images = sorted(glob.glob(os.path.join(imagedir, "*.png")))[::args.stride]
             tstamps = np.array([float(os.path.basename(x)[:-4]) for x in images])
             ate = evaluate_against_tum_gt(traj, tstamps[: len(traj)], gt)
             results[scene].append(ate)
             print(f"{scene} trial {trial+1}: ATE {ate:.4f}")
 
-    print(summarize(results))
+    summary = summarize(results)
+    print(summary)
+    save_results("tum", results, summary, expname=args.expname,
+                 network=args.network)
 
 
 if __name__ == "__main__":

@@ -37,6 +37,7 @@ class PlaneScene:
         self.ts = tex_size
         self.extent = extent
         self.intr = np.asarray(intr, np.float64)
+        self.intr4 = self.intr / 4.0    # OracleUpdate convention
         self.ht, self.wd = ht, wd
 
     def world_to_tex(self, xy):

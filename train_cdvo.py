@@ -58,7 +58,8 @@ def main():
 
     sparse_cfg = RolloutConfig(F=args.n_frames, M=80, STEPS=args.iter, is_cdv=True,
                                flow_weight=args.flow_weight, pose_weight=args.pose_weight)
-    dense_cfg = RolloutConfig(F=4, M=512, STEPS=4, MIN_FRAME=4, is_cdv=True,
+    # dense mode: PPI=1530 patches/image (reference net_cdv.py:573 setdense)
+    dense_cfg = RolloutConfig(F=4, M=1530, STEPS=4, MIN_FRAME=4, is_cdv=True,
                               flow_weight=args.flow_weight, pose_weight=args.pose_weight)
     step_sparse = make_train_step(model, sparse_cfg, optimizer, mesh=mesh)
     step_dense = make_train_step(model, dense_cfg, optimizer, mesh=mesh)
