@@ -20,13 +20,26 @@ from ..geom import transform, flow_mag, point_cloud
 from ..lie import SE3, se3_exp, se3_inv, se3_log, se3_mul
 from ..models.update import UpdateAux
 from ..ops import corr as _corr_xla
+from ..ops.corr_pallas import TE as CORR_TE
 
 
-def corr_op(gmap, fmap, coords, ii, jj, radius=3):
-    """Pallas kernel on TPU; XLA gather fallback elsewhere."""
+def corr_op(gmap, fmap, coords, ii, jj, radius=3, hw=None, plan=None):
+    """Pallas kernel on TPU; XLA gather fallback elsewhere.
+
+    hw=(H, W): ``fmap`` is a PRE-PADDED pyramid in the corr_pallas
+    layout (pad_fmap) with these unpadded dims -- the runtime maintains
+    its frame buffers pre-padded so the pad + shifted-copy build is not
+    repeated every call."""
     if jax.default_backend() in ("tpu", "axon"):
-        from ..ops.corr_pallas import corr_pallas
-        return corr_pallas(gmap, fmap, coords, ii, jj, radius=radius)
+        from ..ops.corr_pallas import corr_pallas, corr_pallas_padded
+        if hw is not None:
+            return corr_pallas_padded(gmap, fmap, coords, ii, jj,
+                                      hw[0], hw[1], radius=radius, plan=plan)
+        return corr_pallas(gmap, fmap, coords, ii, jj, radius=radius,
+                           plan=plan)
+    if hw is not None:
+        D = 2 * radius + 2
+        fmap = fmap[:, :, 0, :, D:D + hw[0], D:D + hw[1]]
     return _corr_xla(gmap, fmap, coords, ii, jj, radius=radius)
 
 
@@ -35,11 +48,13 @@ def corr_op(gmap, fmap, coords, ii, jj, radius=3):
 # ---------------------------------------------------------------------------
 
 
-def corr_features(gmap_buf, fmap1, fmap2, coords_nchw, gmap_idx, jjm, radius=3):
-    """2-level correlation pyramid -> flattened features (1, E, 2*49*P*P)."""
+def corr_features(gmap_buf, fmap1, fmap2, coords_nchw, gmap_idx, jjm,
+                  radius=3, hw1=None, hw2=None, plan=None):
+    """2-level correlation pyramid -> flattened features (1, E, 2*49*P*P).
+    ``plan``: host-computed edge-order plan (shared by both levels)."""
     E = coords_nchw.shape[1]
-    c1 = corr_op(gmap_buf[None], fmap1[None], coords_nchw, gmap_idx, jjm, radius=radius)
-    c2 = corr_op(gmap_buf[None], fmap2[None], coords_nchw / 4.0, gmap_idx, jjm, radius=radius)
+    c1 = corr_op(gmap_buf[None], fmap1[None], coords_nchw, gmap_idx, jjm, radius=radius, hw=hw1, plan=plan)
+    c2 = corr_op(gmap_buf[None], fmap2[None], coords_nchw / 4.0, gmap_idx, jjm, radius=radius, hw=hw2, plan=plan)
     return jnp.stack([c1, c2], -1).reshape(1, E, -1)
 
 
@@ -56,8 +71,8 @@ def update_body(
     intr_full,                  # (N, 4) at 1/RES scale
     imap_buf,                   # (pmem*M, DIM)
     gmap_buf,                   # (pmem*M, DIMF, P, P)
-    fmap1,                      # (mem, DIMF, h, w)
-    fmap2,                      # (mem, DIMF, h/4, w/4)
+    fmap1,                      # (mem, DIMF, Hp, Wp+64) pre-padded (HW1)
+    fmap2,                      # (mem, DIMF, Hp/4-ish, ...) pre-padded (HW2)
     net_full,                   # (cap, DIM) hidden state       [donated]
     target_full,                # (cap, 2)                      [donated]
     weight_full,                # (cap, 2)                      [donated]
@@ -77,15 +92,23 @@ def update_body(
     iterations: int = 2,
     is_cdv: bool = True,
     res: int = 4,
+    HW1=None,                   # static (H, W) of fmap1 when pre-padded
+    HW2=None,
 ):
     """One fully-fused SLAM update. Slices the patch window and per-edge
     state out of the full (donated) buffers, runs
     reproject->corr->net.update->BA, and writes everything back -- a
     single device dispatch with no host-side eager ops (each eager op
     costs ~25 ms through the remote-device transport)."""
-    # unpack the edge index matrix (single host upload per update)
+    # unpack the edge index matrix (single host upload per update); rows
+    # are EP2 >= EPAD wide when the host corr plan rides along (rows 13-15)
     ii, jj, kk_local, ctx_idx, jjm, a_ix, a_jx, a_kseg, a_gseg, a_perm, \
-        a_inv, a_mask, a_gather = [packed[i] for i in range(13)]
+        a_inv, a_mask, a_gather = [packed[i, :EPAD] for i in range(13)]
+    corr_plan = None
+    if packed.shape[0] >= 16:
+        EP2 = packed.shape[1]
+        corr_plan = (packed[13], packed[14, :EPAD],
+                     packed[15, : EP2 // CORR_TE])
     gmap_idx = ctx_idx
     if GROUP_M:
         G = EPAD // GROUP_M
@@ -115,7 +138,8 @@ def update_body(
     )                                                        # (1,E,P,P,2)
     coords_nchw = coords.transpose(0, 1, 4, 2, 3)
 
-    corrf = corr_features(gmap_buf, fmap1, fmap2, coords_nchw, gmap_idx, jjm)
+    corrf = corr_features(gmap_buf, fmap1, fmap2, coords_nchw, gmap_idx, jjm,
+                          hw1=HW1, hw2=HW2, plan=corr_plan)
     ctx = jnp.take(imap_buf, ctx_idx, axis=0, mode="clip")[None]
 
     if is_cdv:
@@ -182,7 +206,7 @@ def update_body(
 
 update_step = partial(
     jax.jit,
-    static_argnames=("model", "NW", "KWIN", "EPAD", "GROUP_M", "iterations", "is_cdv", "res"),
+    static_argnames=("model", "NW", "KWIN", "EPAD", "GROUP_M", "iterations", "is_cdv", "res", "HW1", "HW2"),
     donate_argnums=(2, 3, 9, 10, 11),
 )(update_body)
 
@@ -228,18 +252,6 @@ def write_frame_state(poses, patches, intrinsics, n, patch_row, intr_row):
     patches = patches.at[n].set(patch_row)
     intrinsics = intrinsics.at[n].set(intr_row)
     return poses, patches, intrinsics
-
-
-@jax.jit
-def write_rings(imap_buf, gmap_buf, fmap1, fmap2, slot_p, slot_f, imap_row, gmap_row, f1, f2):
-    """Write one frame into the ring buffers. slot_p = (n % pmem) * M."""
-    imap_buf = jax.lax.dynamic_update_slice(imap_buf, imap_row, (slot_p, 0))
-    gmap_buf = jax.lax.dynamic_update_slice(
-        gmap_buf, gmap_row, (slot_p, 0, 0, 0)
-    )
-    fmap1 = jax.lax.dynamic_update_slice(fmap1, f1[None], (slot_f, 0, 0, 0))
-    fmap2 = jax.lax.dynamic_update_slice(fmap2, f2[None], (slot_f, 0, 0, 0))
-    return imap_buf, gmap_buf, fmap1, fmap2
 
 
 @jax.jit
@@ -314,10 +326,11 @@ def remove_keyframe_shift(poses, patches, intrinsics, imap_buf, gmap_buf,
         gmap_buf = jax.lax.dynamic_update_slice(gmap_buf, g, (dslot, 0, 0, 0))
         df = i % mem
         sf = (i + 1) % mem
-        f1 = jax.lax.dynamic_slice(fmap1, (sf, 0, 0, 0), (1,) + fmap1.shape[1:])
-        fmap1 = jax.lax.dynamic_update_slice(fmap1, f1, (df, 0, 0, 0))
-        f2 = jax.lax.dynamic_slice(fmap2, (sf, 0, 0, 0), (1,) + fmap2.shape[1:])
-        fmap2 = jax.lax.dynamic_update_slice(fmap2, f2, (df, 0, 0, 0))
+        z1 = (0,) * (fmap1.ndim - 1)
+        f1 = jax.lax.dynamic_slice(fmap1, (sf,) + z1, (1,) + fmap1.shape[1:])
+        fmap1 = jax.lax.dynamic_update_slice(fmap1, f1, (df,) + z1)
+        f2 = jax.lax.dynamic_slice(fmap2, (sf,) + z1, (1,) + fmap2.shape[1:])
+        fmap2 = jax.lax.dynamic_update_slice(fmap2, f2, (df,) + z1)
 
     return (poses, patches, intrinsics, imap_buf, gmap_buf, fmap1, fmap2,
             colors, seg, scale, score, dP)

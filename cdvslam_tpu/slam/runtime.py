@@ -82,6 +82,9 @@ class SLAM:
 
         ht4, wd4 = ht // self.RES, wd // self.RES
         self.ht4, self.wd4 = ht4, wd4
+        # static unpadded dims of the pre-padded frame pyramids
+        self._hw1 = (ht4, wd4)
+        self._hw2 = (ht4 // 4, wd4 // 4)
         self.fdtype = jnp.bfloat16 if self.cfg.MIXED_PRECISION else jnp.float32
         self.pg = PatchGraph(self.cfg, self.P, self.DIM, self.DIMF,
                              self.pmem, self.mem, ht4, wd4, fdtype=self.fdtype)
@@ -392,8 +395,20 @@ class SLAM:
                 slot_p = (n % pmem) * M
                 imap_buf = jax.lax.dynamic_update_slice(imap_buf, ictx[0], (slot_p, 0))
                 gmap_buf = jax.lax.dynamic_update_slice(gmap_buf, gmap[0], (slot_p, 0, 0, 0))
-                f1buf = jax.lax.dynamic_update_slice(f1buf, f1[None], (n % mem, 0, 0, 0))
-                f2buf = jax.lax.dynamic_update_slice(f2buf, f2[None], (n % mem, 0, 0, 0))
+                # frame pyramids live pre-padded in the corr kernel
+                # layout (slot, copy, C, Hp, Wpc): copy 0 holds the image
+                # at (D, D)=(8, 8); copy 1 is shifted 64 px left (image
+                # columns 56.. land at column 0), so the kernel's
+                # lane-aligned band slices work for any 64-aligned origin
+                f1buf = jax.lax.dynamic_update_slice(
+                    f1buf, f1[None, None], (n % mem, 0, 0, 8, 8))
+                f1buf = jax.lax.dynamic_update_slice(
+                    f1buf, f1[:, :, 56:][None, None], (n % mem, 1, 0, 8, 0))
+                f2buf = jax.lax.dynamic_update_slice(
+                    f2buf, f2[None, None], (n % mem, 0, 0, 8, 8))
+                if f2.shape[-1] > 56:
+                    f2buf = jax.lax.dynamic_update_slice(
+                        f2buf, f2[:, :, 56:][None, None], (n % mem, 1, 0, 8, 0))
                 colors_buf = colors_buf.at[n].set(clr[0].astype(colors_buf.dtype))
                 seg_buf = seg_buf.at[n].set(seg_row)
                 scale_buf = scale_buf.at[n].set(
@@ -431,7 +446,7 @@ class SLAM:
         @partial(
             jax.jit,
             static_argnames=("NW", "KWIN", "EPAD", "GROUP_M", "iterations",
-                             "is_cdv"),
+                             "is_cdv", "HW1", "HW2"),
             donate_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 17, 18, 19),
         )
         def fused_fn(params, image_u8, seed, poses, patches_buf, intr_buf,
@@ -439,7 +454,8 @@ class SLAM:
                      scale_buf, score_buf, n, fac, intr_row,
                      net_full, target_full, weight_full, weight_mul, packed,
                      t0, k0, net_valid, ht4, wd4, mm_i, mm_j, *,
-                     NW, KWIN, EPAD, GROUP_M, iterations, is_cdv):
+                     NW, KWIN, EPAD, GROUP_M, iterations, is_cdv,
+                     HW1, HW2):
             (poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf, f2buf,
              colors_buf, seg_buf, scale_buf, score_buf) = frame_body(
                 params, image_u8, seed, poses, patches_buf, intr_buf,
@@ -452,7 +468,7 @@ class SLAM:
                 weight_mul, score_buf, packed, t0, k0, net_valid, ht4, wd4,
                 mm_i, mm_j,
                 NW=NW, KWIN=KWIN, EPAD=EPAD, GROUP_M=GROUP_M,
-                iterations=iterations, is_cdv=is_cdv)
+                iterations=iterations, is_cdv=is_cdv, HW1=HW1, HW2=HW2)
             return (poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf,
                     f2buf, colors_buf, seg_buf, scale_buf, score_buf,
                     net_full, target_full, weight_full, mm)
@@ -513,6 +529,7 @@ class SLAM:
             NW=self.NW, KWIN=KWIN, EPAD=E_pad,
             GROUP_M=self.M if self.is_cdv else 0,
             iterations=ba_iters, is_cdv=self.is_cdv,
+            HW1=self._hw1, HW2=self._hw2,
         )
         try:
             mm.copy_to_host_async()
@@ -604,6 +621,14 @@ class SLAM:
             M=M if self.is_cdv else None,
             n_gseg=E_pad, E_pad=E_pad, as_numpy=True,
         )
+        # host-computed corr edge-order plan (rows 13-15): saves the
+        # device-side argsort/scatter in every corr call
+        from ..ops.corr_pallas import corr_epad, plan_corr_order
+        EP2 = corr_epad(E_pad, self.mem)
+        jjm_pad = np.concatenate(
+            [np.asarray(jj, np.int64) % self.mem, np.zeros(pad, np.int64)]
+        ) if pad else np.asarray(jj, np.int64) % self.mem
+        order, jj_steps, inv = plan_corr_order(jjm_pad, self.mem, EP2)
         # row 12: survivor gather for a deferred edge compaction (identity
         # when none is pending) -- applied to the net hidden state inside
         # the update program itself, saving a separate compaction dispatch
@@ -615,7 +640,7 @@ class SLAM:
             gather[:nkeep] = keep
             pg._pending_gather = None
 
-        packed = np.stack([
+        rows13 = np.stack([
             padi(ii), padi(jj), padi(kk - k0),
             padi(kk % (self.pmem * M)), padi(jj % self.mem),
             np.asarray(aux.ix), np.asarray(aux.jx),
@@ -626,8 +651,13 @@ class SLAM:
                     else np.zeros(0, np.int64), E_pad),
             np.asarray(aux.mask).astype(np.int64),
             gather,
-        ]).astype(np.int32)
-        return k0, KWIN, jnp.asarray(packed)
+        ])
+        packed = np.zeros((16, EP2), np.int64)
+        packed[:13, :E_pad] = rows13
+        packed[13] = order
+        packed[14, :E_pad] = inv
+        packed[15, : jj_steps.shape[0]] = jj_steps
+        return k0, KWIN, jnp.asarray(packed.astype(np.int32))
 
     def _patch_window(self, k0, KWIN=None):
         KWIN = KWIN or self.KWIN
@@ -671,7 +701,7 @@ class SLAM:
         mj = pg.n - self.cfg.KEYFRAME_INDEX + 1
         if self.update_override is not None:
             from ..models.update import UpdateAux
-            pk = np.asarray(packed)
+            pk = np.asarray(packed)[:, :E_pad]
             aux = UpdateAux(
                 ix=jnp.asarray(pk[5]), jx=jnp.asarray(pk[6]),
                 kseg=jnp.asarray(pk[7]), gseg=jnp.asarray(pk[8]),
@@ -704,6 +734,7 @@ class SLAM:
                 NW=self.NW, KWIN=KWIN, EPAD=E_pad,
                 GROUP_M=self.M if self.is_cdv else 0,
                 iterations=ba_iters, is_cdv=self.is_cdv,
+                HW1=self._hw1, HW2=self._hw2,
             )
             try:
                 mm.copy_to_host_async()
@@ -832,7 +863,7 @@ class SLAM:
         k0, KWIN, packed = self._prepare_update(ii, jj, kk, E_pad)
 
         if self.update_override is not None:
-            pk = np.asarray(packed)
+            pk = np.asarray(packed)[:, :E_pad]
             ii_p, jj_p, kkl = [jnp.asarray(pk[i]) for i in (0, 1, 2)]
             patches_win, k0 = self._patch_window(k0, KWIN)
             coords = transform(
@@ -861,6 +892,7 @@ class SLAM:
             NW=self.NW, KWIN=KWIN, EPAD=E_pad,
             GROUP_M=self.M if self.is_cdv else 0,
             iterations=0, is_cdv=self.is_cdv,
+            HW1=self._hw1, HW2=self._hw2,
         )
         # donated inputs: re-adopt the (unchanged) returned buffers
         pg.poses_ = poses
@@ -878,7 +910,7 @@ class SLAM:
         ii, jj, kk = pg.ii[sel], pg.jj[sel], pg.kk[sel]
         E_pad = pg.bucket(len(ii))
         k0, KWIN, packed = self._prepare_update(ii, jj, kk, E_pad)
-        pk = np.asarray(packed)
+        pk = np.asarray(packed)[:, :E_pad]
         patches_win, k0 = self._patch_window(k0, KWIN)
         m = motionmag(pg.poses_, patches_win, pg.intrinsics_,
                       jnp.asarray(pk[0]), jnp.asarray(pk[1]), jnp.asarray(pk[2]),

@@ -51,8 +51,14 @@ class PatchGraph:
         # feature ring buffers (network compute dtype, e.g. bf16)
         self.imap_ = jnp.zeros((pmem * M, DIM), fdtype)
         self.gmap_ = jnp.zeros((pmem * M, DIMF, P, P), fdtype)
-        self.fmap1_ = jnp.zeros((mem, DIMF, ht4, wd4), fdtype)
-        self.fmap2_ = jnp.zeros((mem, DIMF, ht4 // 4, wd4 // 4), fdtype)
+        # frame pyramids are stored PRE-PADDED in the corr kernel layout
+        # (zero border + lane-tile rounding + 64 shifted-view columns), so
+        # the pad + shift copies are not rebuilt on every corr call
+        from ..ops.corr_pallas import padded_dims
+        Hp1, Wp1 = padded_dims(ht4, wd4)
+        Hp2, Wp2 = padded_dims(ht4 // 4, wd4 // 4)
+        self.fmap1_ = jnp.zeros((mem, 2, DIMF, Hp1, Wp1), fdtype)
+        self.fmap2_ = jnp.zeros((mem, 2, DIMF, Hp2, Wp2), fdtype)
 
         # host edge lists (active)
         self.ii = np.zeros(0, np.int64)

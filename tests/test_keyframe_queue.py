@@ -105,7 +105,7 @@ def test_deferred_compaction_defers_device_work():
     assert pg._pending_gather is None
     # without a pending compaction the gather row is identity
     _, _, packed2 = slam._prepare_update(pg.ii, pg.jj, pg.kk, E_pad)
-    np.testing.assert_array_equal(np.asarray(packed2)[12], np.arange(E_pad))
+    np.testing.assert_array_equal(np.asarray(packed2)[12, :E_pad], np.arange(E_pad))
 
 
 def test_queue_drain_at_terminate_applies_decisions():
