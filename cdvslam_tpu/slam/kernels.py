@@ -20,7 +20,7 @@ from ..geom import transform, flow_mag, point_cloud
 from ..lie import SE3, se3_exp, se3_inv, se3_log, se3_mul
 from ..models.update import UpdateAux
 from ..ops import corr as _corr_xla
-from ..ops.corr_pallas import TE as CORR_TE
+from ..ops.corr_pallas import SUBTE as CORR_SUBTE
 
 
 def corr_op(gmap, fmap, coords, ii, jj, radius=3, hw=None, plan=None):
@@ -106,9 +106,11 @@ def update_body(
         a_inv, a_mask, a_gather = [packed[i, :EPAD] for i in range(13)]
     corr_plan = None
     if packed.shape[0] >= 16:
+        # row 13: sorted-order, row 14: inverse positions, row 15:
+        # per-sub-tile frame ids (see _prepare_update)
         EP2 = packed.shape[1]
-        corr_plan = (packed[13], packed[14, :EPAD],
-                     packed[15, : EP2 // CORR_TE])
+        corr_plan = (packed[13], packed[15, : EP2 // CORR_SUBTE],
+                     packed[14, :EPAD])
     gmap_idx = ctx_idx
     if GROUP_M:
         G = EPAD // GROUP_M

@@ -122,3 +122,34 @@ def test_queue_drain_at_terminate_applies_decisions():
     assert pg.n == 8
     assert poses.shape == (10, 7)
     assert np.isfinite(poses).all()
+
+
+def test_prepare_update_packed_plan_rows():
+    """Rows 13-15 of the packed upload must be (order, inv, sub-tile frame
+    ids) exactly as plan_corr_order computes them (kernels.update_body
+    unpacks them positionally)."""
+    import jax.numpy as jnp
+    from cdvslam_tpu.config import get_cfg
+    from cdvslam_tpu.slam import SLAM
+    from cdvslam_tpu.ops.corr_pallas import SUBTE, corr_epad, plan_corr_order
+
+    cfg = get_cfg()
+    cfg.PATCHES_PER_FRAME = 4
+    cfg.BUFFER_SIZE = 24
+    slam = SLAM(cfg, network="dpv", ht=64, wd=96,
+                update_override=lambda *a: None)
+    rng = np.random.RandomState(0)
+    E = 37
+    ii = rng.randint(0, 6, E)
+    jj = rng.randint(0, 6, E)
+    kk = ii * 4 + rng.randint(0, 4, E)
+    E_pad = slam.pg.bucket(E)
+    k0, KWIN, packed = slam._prepare_update(ii, jj, kk, E_pad)
+    pk = np.asarray(packed)
+    EP2 = corr_epad(E_pad, slam.mem)
+    assert pk.shape == (16, EP2)
+    jjm_pad = np.concatenate([jj % slam.mem, np.zeros(E_pad - E, np.int64)])
+    order, jj_steps, inv = plan_corr_order(jjm_pad, slam.mem, EP2)
+    np.testing.assert_array_equal(pk[13], order)
+    np.testing.assert_array_equal(pk[14, :E_pad], inv)
+    np.testing.assert_array_equal(pk[15, : EP2 // SUBTE], jj_steps)

@@ -157,3 +157,11 @@ def test_corr_pallas_interpret_matches_xla():
         got = cp.corr_pallas(gmap, fmap, coords, ii, jj, radius=R)
     ref = corr(gmap, fmap, coords, ii, jj, radius=R, chunk=4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-4)
+
+    # host-plan path (the runtime ships the plan in the packed upload)
+    E_pad = cp.corr_epad(E, NF)
+    order, jj_steps, inv = cp.plan_corr_order(np.asarray(jj), NF, E_pad)
+    plan = tuple(map(jnp.asarray, (order, jj_steps, inv)))
+    with mock.patch.object(cp.pl, "pallas_call", interp_call):
+        got2 = cp.corr_pallas(gmap, fmap, coords, ii, jj, radius=R, plan=plan)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref), atol=2e-4, rtol=1e-4)
