@@ -100,8 +100,11 @@ def update_body(
     reproject->corr->net.update->BA, and writes everything back -- a
     single device dispatch with no host-side eager ops (each eager op
     costs ~25 ms through the remote-device transport)."""
-    # unpack the edge index matrix (single host upload per update); rows
-    # are EP2 >= EPAD wide when the host corr plan rides along (rows 13-15)
+    # unpack the edge index matrix (single FLAT int16 host upload per
+    # update -- the transport penalizes multi-dim payloads); rows are
+    # EP2 >= EPAD wide when the host corr plan rides along (rows 13-15)
+    if packed.ndim == 1:
+        packed = packed.reshape(16, -1).astype(jnp.int32)
     ii, jj, kk_local, ctx_idx, jjm, a_ix, a_jx, a_kseg, a_gseg, a_perm, \
         a_inv, a_mask, a_gather = [packed[i, :EPAD] for i in range(13)]
     corr_plan = None
@@ -256,7 +259,7 @@ def write_frame_state(poses, patches, intrinsics, n, patch_row, intr_row):
     return poses, patches, intrinsics
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0,))
 def gather_rows(buf, idx):
     """Generic device gather used for keyframe-removal buffer shifting."""
     return jnp.take(buf, idx, axis=0, mode="clip")
@@ -280,12 +283,62 @@ def compute_points(poses, patches, intr_full, ix):
     return (pts[0, :, P // 2, P // 2, :3] / pts[0, :, P // 2, P // 2, 3:])
 
 
+def shift_gather(poses, patches, intrinsics, imap_buf, gmap_buf, fmap1,
+                 fmap2, colors, seg, scale, score, k, npre, *, M, pmem, mem):
+    """Keyframe-removal buffer shift as ONE branch-free gather pass.
+
+    k = removed frame row, or -1 for a no-op; npre = frame count before
+    the removal. Runs INSIDE the fused frame program, so a steady-state
+    removal costs no extra dispatch or program boundary (each program
+    start/stop pays transport overhead on the remote device link).
+    Matches remove_keyframe_shift / reference slam.py:431-441; returns
+    the shifted buffers plus dP (relative pose of the removed frame,
+    identity when k < 0)."""
+    N = poses.shape[0]
+    act = k >= 0
+    dP_real = se3_mul(
+        jnp.take(poses, jnp.clip(k, 0, N - 1), axis=0),
+        se3_inv(jnp.take(poses, jnp.clip(k - 1, 0, N - 1), axis=0)))
+    dP = jnp.where(act, dP_real,
+                   jnp.asarray([0., 0., 0., 0., 0., 0., 1.], poses.dtype))
+
+    fr = jnp.arange(N)
+    map_f = fr + (act & (fr >= k) & (fr <= npre - 2))
+
+    def g(buf):
+        return jnp.take(buf, map_f[: buf.shape[0]], axis=0, mode="clip")
+
+    pr = jnp.arange(patches.shape[0])
+    map_p = jnp.take(map_f, pr // M, mode="clip") * M + pr % M
+    patches = jnp.take(patches, map_p, axis=0, mode="clip")
+    score = jnp.take(score, map_p[: score.shape[0]], axis=0, mode="clip")
+    # ring slots: frame at slot s is the unique i in (npre-1-pmem, npre-1]
+    # with i % pmem == s; it receives frame i+1's slot when i was shifted
+    sl = jnp.arange(pmem)
+    i_s = (npre - 1) - ((npre - 1 - sl) % pmem)
+    src_slot = jnp.where(act & (i_s >= k) & (i_s <= npre - 2),
+                         (i_s + 1) % pmem, sl)
+    rows = jnp.arange(pmem * M)
+    map_r = jnp.take(src_slot, rows // M, mode="clip") * M + rows % M
+    imap_buf = jnp.take(imap_buf, map_r, axis=0, mode="clip")
+    gmap_buf = jnp.take(gmap_buf, map_r, axis=0, mode="clip")
+    slf = jnp.arange(mem)
+    i_f = (npre - 1) - ((npre - 1 - slf) % mem)
+    map_m = jnp.where(act & (i_f >= k) & (i_f <= npre - 2),
+                      (i_f + 1) % mem, slf)
+    fmap1 = jnp.take(fmap1, map_m, axis=0, mode="clip")
+    fmap2 = jnp.take(fmap2, map_m, axis=0, mode="clip")
+    return (g(poses), patches, g(intrinsics), imap_buf, gmap_buf,
+            fmap1, fmap2, g(colors), g(seg), g(scale), score, dP)
+
+
 # ---------------------------------------------------------------------------
 # fused keyframe removal (fixed-span buffer shift, one dispatch)
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("SPAN", "M", "pmem", "mem"))
+@partial(jax.jit, static_argnames=("SPAN", "M", "pmem", "mem"),
+         donate_argnums=tuple(range(11)))
 def remove_keyframe_shift(poses, patches, intrinsics, imap_buf, gmap_buf,
                           fmap1, fmap2, colors, seg, scale, score, k, n,
                           *, SPAN: int, M: int, pmem: int, mem: int):
@@ -338,6 +391,8 @@ def remove_keyframe_shift(poses, patches, intrinsics, imap_buf, gmap_buf,
             colors, seg, scale, score, dP)
 
 
+# NOTE: no donation here -- the caller may have stashed references to
+# target/weight in the inactive-edge store (state._inac_pending)
 @jax.jit
 def compact_edge_state(net, target, weight, gather, nkeep):
     """Fused survivor compaction of per-edge device state (one dispatch)."""

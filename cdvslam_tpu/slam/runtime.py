@@ -37,8 +37,8 @@ from ..models.patchifier import (
 from ..utils.timer import Timer
 from .kernels import (
     compact_edge_state, compute_points, gather_rows, median_depth,
-    motion_extrapolate, motionmag, remove_keyframe_shift, update_body,
-    update_step,
+    motion_extrapolate, motionmag, remove_keyframe_shift, shift_gather,
+    update_body, update_step,
 )
 from .state import PatchGraph
 
@@ -263,13 +263,15 @@ class SLAM:
             from ..ops.patchify import patchify as patchify_op
             from ..models.patchifier import (
                 coords_grid_with_index, seg_binary_score)
+            ht_, wd_ = self.ht, self.wd
 
             def frame_fn(params, image_u8, seed, poses, patches_buf, intr_buf,
                          imap_buf, gmap_buf, f1buf, f2buf, colors_buf,
                          seg_buf, scale_buf, score_buf, n, fac,
                          initialized, intr_row):
                 key = jax.random.fold_in(jax.random.PRNGKey(7), seed)
-                img = image_u8.astype(jnp.float32)
+                # image arrives as a FLAT u8 upload (transport layout cost)
+                img = image_u8.reshape(ht_, wd_, 3).astype(jnp.float32)
                 image_f32 = (img / 255.0)[None] if simple else (2.0 * (img / 255.0) - 0.5)[None]
                 image = image_f32.astype(cdtype)
 
@@ -443,6 +445,8 @@ class SLAM:
         frame_body = self._frame_body
         model = self.model
 
+        M_, pmem_, mem_ = self.M, self.pmem, self.mem
+
         @partial(
             jax.jit,
             static_argnames=("NW", "KWIN", "EPAD", "GROUP_M", "iterations",
@@ -453,9 +457,18 @@ class SLAM:
                      imap_buf, gmap_buf, f1buf, f2buf, colors_buf, seg_buf,
                      scale_buf, score_buf, n, fac, intr_row,
                      net_full, target_full, weight_full, weight_mul, packed,
-                     t0, k0, net_valid, ht4, wd4, mm_i, mm_j, *,
+                     t0, k0, net_valid, ht4, wd4, mm_i, mm_j,
+                     shift_k, shift_np, *,
                      NW, KWIN, EPAD, GROUP_M, iterations, is_cdv,
                      HW1, HW2):
+            # deferred keyframe removal rides this dispatch (no-op gather
+            # when shift_k < 0)
+            (poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf,
+             f2buf, colors_buf, seg_buf, scale_buf, score_buf,
+             dP) = shift_gather(
+                poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf,
+                f2buf, colors_buf, seg_buf, scale_buf, score_buf,
+                shift_k, shift_np, M=M_, pmem=pmem_, mem=mem_)
             (poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf, f2buf,
              colors_buf, seg_buf, scale_buf, score_buf) = frame_body(
                 params, image_u8, seed, poses, patches_buf, intr_buf,
@@ -471,7 +484,7 @@ class SLAM:
                 iterations=iterations, is_cdv=is_cdv, HW1=HW1, HW2=HW2)
             return (poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf,
                     f2buf, colors_buf, seg_buf, scale_buf, score_buf,
-                    net_full, target_full, weight_full, mm)
+                    net_full, target_full, weight_full, mm, dP)
 
         return fused_fn
 
@@ -490,10 +503,11 @@ class SLAM:
         if self._fused_fn is None:
             self._fused_fn = self._build_fused()
 
-        E = pg.E
-        E_pad = pg.bucket(E)
-        pg._grow(E_pad)
-        k0, KWIN, packed = self._prepare_update(pg.ii, pg.jj, pg.kk, E_pad)
+        with Timer("prep", enabled=self.enable_timing):
+            E = pg.E
+            E_pad = pg.bucket(E)
+            pg._grow(E_pad)
+            k0, KWIN, packed = self._prepare_update(pg.ii, pg.jj, pg.kk, E_pad)
         t0 = max(pg.n - cfg.OPTIMIZATION_WINDOW, 1)
 
         long_range = bool((pg.ii < pg.n - cfg.REMOVAL_WINDOW - 1).any()) \
@@ -517,20 +531,31 @@ class SLAM:
         mj = pg.n - cfg.KEYFRAME_INDEX + 1
         n_row = pg.n - 1   # row the new frame lands in (pg.n already bumped)
 
-        (pg.poses_, pg.patches_, pg.intrinsics_, pg.imap_, pg.gmap_,
-         pg.fmap1_, pg.fmap2_, pg.colors_dev, pg.seg_dev, pg.scale_,
-         pg.score_dev, pg.net, pg.target, pg.weight, mm) = self._fused_fn(
-            self.cparams, image_u8, seed, pg.poses_, pg.patches_,
-            pg.intrinsics_, pg.imap_, pg.gmap_, pg.fmap1_, pg.fmap2_,
-            pg.colors_dev, pg.seg_dev, pg.scale_, pg.score_dev, n_row, fac,
-            intr_row,
-            pg.net, pg.target, pg.weight, weight_mul, packed,
-            t0, k0, pg.net_valid, float(self.ht4), float(self.wd4), mi, mj,
-            NW=self.NW, KWIN=KWIN, EPAD=E_pad,
-            GROUP_M=self.M if self.is_cdv else 0,
-            iterations=ba_iters, is_cdv=self.is_cdv,
-            HW1=self._hw1, HW2=self._hw2,
-        )
+        pend = getattr(self, "_pending_shift", None)
+        shift_k, shift_np = pend if pend is not None else (-1, 0)
+        self._pending_shift = None
+        with Timer("dispatch", enabled=self.enable_timing):
+            (pg.poses_, pg.patches_, pg.intrinsics_, pg.imap_, pg.gmap_,
+             pg.fmap1_, pg.fmap2_, pg.colors_dev, pg.seg_dev, pg.scale_,
+             pg.score_dev, pg.net, pg.target, pg.weight, mm,
+             dP) = self._fused_fn(
+                self.cparams, image_u8, seed, pg.poses_, pg.patches_,
+                pg.intrinsics_, pg.imap_, pg.gmap_, pg.fmap1_, pg.fmap2_,
+                pg.colors_dev, pg.seg_dev, pg.scale_, pg.score_dev, n_row, fac,
+                intr_row,
+                pg.net, pg.target, pg.weight, weight_mul, packed,
+                t0, k0, pg.net_valid, float(self.ht4), float(self.wd4), mi, mj,
+                shift_k, shift_np,
+                NW=self.NW, KWIN=KWIN, EPAD=E_pad,
+                GROUP_M=self.M if self.is_cdv else 0,
+                iterations=ba_iters, is_cdv=self.is_cdv,
+                HW1=self._hw1, HW2=self._hw2,
+            )
+        pd = getattr(self, "_pending_delta", None)
+        if pd is not None:
+            t1d, t0d = pd
+            pg.delta[t1d] = (t0d, dP)
+            self._pending_delta = None
         try:
             mm.copy_to_host_async()
         except Exception:
@@ -657,7 +682,10 @@ class SLAM:
         packed[13] = order
         packed[14, :E_pad] = inv
         packed[15, : jj_steps.shape[0]] = jj_steps
-        return k0, KWIN, jnp.asarray(packed.astype(np.int32))
+        # FLAT int16 upload: the remote transport pays a large layout /
+        # size penalty on multi-dim payloads; all packed values fit i16
+        assert packed.max() < 32767 and packed.min() >= -32768
+        return k0, KWIN, jnp.asarray(packed.astype(np.int16).reshape(-1))
 
     def _patch_window(self, k0, KWIN=None):
         KWIN = KWIN or self.KWIN
@@ -701,7 +729,7 @@ class SLAM:
         mj = pg.n - self.cfg.KEYFRAME_INDEX + 1
         if self.update_override is not None:
             from ..models.update import UpdateAux
-            pk = np.asarray(packed)[:, :E_pad]
+            pk = np.asarray(packed).reshape(16, -1)[:, :E_pad].astype(np.int64)
             aux = UpdateAux(
                 ix=jnp.asarray(pk[5]), jx=jnp.asarray(pk[6]),
                 kseg=jnp.asarray(pk[7]), gseg=jnp.asarray(pk[8]),
@@ -863,7 +891,7 @@ class SLAM:
         k0, KWIN, packed = self._prepare_update(ii, jj, kk, E_pad)
 
         if self.update_override is not None:
-            pk = np.asarray(packed)[:, :E_pad]
+            pk = np.asarray(packed).reshape(16, -1)[:, :E_pad].astype(np.int64)
             ii_p, jj_p, kkl = [jnp.asarray(pk[i]) for i in (0, 1, 2)]
             patches_win, k0 = self._patch_window(k0, KWIN)
             coords = transform(
@@ -910,7 +938,7 @@ class SLAM:
         ii, jj, kk = pg.ii[sel], pg.jj[sel], pg.kk[sel]
         E_pad = pg.bucket(len(ii))
         k0, KWIN, packed = self._prepare_update(ii, jj, kk, E_pad)
-        pk = np.asarray(packed)[:, :E_pad]
+        pk = np.asarray(packed).reshape(16, -1)[:, :E_pad].astype(np.int64)
         patches_win, k0 = self._patch_window(k0, KWIN)
         m = motionmag(pg.poses_, patches_win, pg.intrinsics_,
                       jnp.asarray(pk[0]), jnp.asarray(pk[1]), jnp.asarray(pk[2]),
@@ -947,11 +975,13 @@ class SLAM:
             return None
         return int(rows[0])
 
-    def _kf_apply(self, k, staging=False, defer=False):
+    def _kf_apply(self, k, staging=False, defer=False, fused_shift=False):
         """Apply a keyframe-removal decision (k = row or None) plus the
         per-frame edge retirement in ONE device compaction (or, with
         ``defer``, zero extra dispatches: the compaction gather rides the
-        next fused update program)."""
+        next fused update program). With ``fused_shift`` the device
+        buffer shift ALSO rides the next fused dispatch as a no-op-able
+        gather (only valid when a fused update follows this frame)."""
         cfg = self.cfg
         pg = self.pg
         M = self.M
@@ -984,9 +1014,19 @@ class SLAM:
                                  kk_post, defer=defer)
 
         if removed:
-            dP = self._shift_buffers(k, staging=staging)
-            if dP is not None:
-                pg.delta[int(t1)] = (int(t0), dP)
+            if fused_shift and not staging:
+                # host-side row shifts now; device gather rides the next
+                # fused dispatch, which also returns dP for the delta chain
+                n = pg.n
+                pg.tstamps_[k : n - 1] = pg.tstamps_[k + 1 : n]
+                pg.colors_[k : n - 1] = pg.colors_[k + 1 : n]
+                pg.seg_[k : n - 1] = pg.seg_[k + 1 : n]
+                self._pending_shift = (k, n)
+                self._pending_delta = (int(t1), int(t0))
+            else:
+                dP = self._shift_buffers(k, staging=staging)
+                if dP is not None:
+                    pg.delta[int(t1)] = (int(t0), dP)
             pg.n -= 1
             pg.m -= self.M
 
@@ -1047,7 +1087,7 @@ class SLAM:
         """Start the async host->device upload of a future frame; pass the
         same array to __call__ later and the upload will already be in
         flight (hides the image transfer latency)."""
-        arr = jnp.asarray(np.asarray(image))
+        arr = jnp.asarray(np.asarray(image).reshape(-1))
         if not hasattr(self, "_prefetched"):
             self._prefetched = {}
         self._prefetched[id(image)] = arr
@@ -1079,7 +1119,7 @@ class SLAM:
             pref = getattr(self, "_prefetched", {})
             image_dev = pref.pop(id(image), None)
             if image_dev is None:
-                image_dev = jnp.asarray(np.asarray(image))
+                image_dev = jnp.asarray(np.asarray(image).reshape(-1))
             pg.tstamps_[n] = pg.counter
             if n > 1 and cfg.MOTION_MODEL == "DAMPED_LINEAR":
                 *_, a, b, c = [1] * 3 + self.tlist
@@ -1174,7 +1214,8 @@ class SLAM:
             defer = not cfg.LOOP_CLOSURE  # retired edges unused -> no dispatch
             if len(self._kf_queue) >= 2:
                 pid, mm = self._kf_queue.pop(0)
-                self._kf_apply(self._decide_row(pid, mm), defer=defer)
+                self._kf_apply(self._decide_row(pid, mm), defer=defer,
+                               fused_shift=True)
             else:
                 self._kf_apply(None, defer=defer)
 
@@ -1187,7 +1228,9 @@ class SLAM:
         pref = getattr(self, "_prefetched", {})
         image_dev = pref.pop(id(image), None)
         if image_dev is None:
-            image_dev = jnp.asarray(np.asarray(image))
+            # flat 1-D upload (multi-dim payloads are slow on the remote
+            # transport); frame_fn reshapes on device
+            image_dev = jnp.asarray(np.asarray(image).reshape(-1))
         pg.tstamps_[n] = pg.counter
         if n > 1 and cfg.MOTION_MODEL == "DAMPED_LINEAR":
             *_, a, b, c = [1] * 3 + self.tlist
@@ -1205,18 +1248,19 @@ class SLAM:
         pg.n += 1
         pg.m += M
 
-        if cfg.LOOP_CLOSURE:
-            if pg.n - self.last_global_ba >= cfg.GLOBAL_OPT_FREQ:
-                from ..loop.proximity import edges_loop
-                lkk, ljj = edges_loop(pg, cfg)
-                if len(lkk) > 0:
-                    self.last_global_ba = pg.n
-                    pg.append_edges(lkk // M, ljj, lkk)
+        with Timer("edges", enabled=self.enable_timing):
+            if cfg.LOOP_CLOSURE:
+                if pg.n - self.last_global_ba >= cfg.GLOBAL_OPT_FREQ:
+                    from ..loop.proximity import edges_loop
+                    lkk, ljj = edges_loop(pg, cfg)
+                    if len(lkk) > 0:
+                        self.last_global_ba = pg.n
+                        pg.append_edges(lkk // M, ljj, lkk)
 
-        kf, jf = self._edges_forw()
-        self.append_factors(kf, jf)
-        kb, jb = self._edges_back()
-        self.append_factors(kb, jb)
+            kf, jf = self._edges_forw()
+            self.append_factors(kf, jf)
+            kb, jb = self._edges_back()
+            self.append_factors(kb, jb)
 
         with Timer("frame+update", enabled=self.enable_timing):
             self._fused_frame_update(image_dev, k1, fac, intr_dev)
