@@ -49,9 +49,28 @@ class SoftAgg(nn.Module):
         f = nn.Dense(self.dim)(x)
         g = nn.Dense(self.dim)(x)
 
+        # one-hot matmul aggregation: XLA lowers segment scatters to a
+        # serialized per-row scatter on TPU; a 0/1 matrix does the same
+        # sums on the MXU. Softmax is stabilized by a single GLOBAL max
+        # (softmax is shift-invariant, so the per-segment result is
+        # identical up to float rounding).
+        ids_m = ids if mask is None else jnp.where(mask, ids, num_segments)
+        io = jax.lax.broadcasted_iota(jnp.int32, (num_segments, ids.shape[0]), 0)
+        oh = (io == ids_m[None, :]).astype(x.dtype)          # (S, E)
+
         def agg(f1, g1):
-            w = segment_softmax(g1, ids, num_segments, mask=mask)
-            return segment_sum(f1 * w, ids, num_segments)
+            z = g1 - jax.lax.stop_gradient(jnp.max(g1))
+            ex = jnp.exp(z.astype(jnp.float32)).astype(f1.dtype)
+            if mask is not None:
+                ex = jnp.where(mask[:, None], ex, 0.0)
+            denom = jax.lax.dot_general(
+                oh, ex, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (S, D)
+            w = ex / jnp.clip(jnp.take(denom, ids_m, axis=0, mode="clip"),
+                              1e-12, None).astype(f1.dtype)
+            return jax.lax.dot_general(
+                oh, f1 * w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(f1.dtype)
 
         y = jax.vmap(agg)(f, g)
         h = nn.Dense(self.dim)(y)
