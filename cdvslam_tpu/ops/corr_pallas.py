@@ -53,10 +53,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TE = int(_os.environ.get("CORR_TE", "32"))  # edges per grid step
-TH = int(_os.environ.get("CORR_TH", "24"))  # shared row band height
+TH = int(_os.environ.get("CORR_TH", "16"))  # shared row band height
 SUBTE = 8                                   # frame-run pad / refetch tile
 TWB = 128                                   # column band width (one lane tile)
-XSHIFT = 64                                 # copy-1 column shift
+XSHIFT = 64                                 # x copy column shift
+YSHIFT = 4                                  # y copy row shift
 PPD2 = 128                                  # padded per-edge tap columns
 
 
@@ -73,9 +74,10 @@ def _corr_kernel_v5(jjs_ref, tys_ref, txbs_ref, ss_ref, oky_ref,  # prefetch
                     *, C, PP, D, Hp, Wpc, TH_):
     """One grid step = TE edges, sorted by target frame.
 
-    frame_hbm: (NF, 2, C, Hp, Wpc) zero-padded frame + 64-px-shifted
-               copy (both maintained incrementally by the runtime)
-    fcache:    (2, C, Hp, Wpc) VMEM scratch (current frame, both views)
+    frame_hbm: (NF, 4, C, Hp, Wpc) zero-padded frame, (0/4 row, 0/64
+               col)-shifted copies (maintained incrementally by the
+               runtime)
+    fcache:    (4, C, Hp, Wpc) VMEM scratch (current frame, all views)
     g2s, ts:   (SUBTE, C*TH_, PPD2) / (SUBTE, PPD2, PPD2) phase scratch
     ge_ref:  (1, C, TE*PPD2) patch features, tap-expanded, 128-col/edge
     rxe_ref: (1, 1, TE*PPD2) int32 column taps, rel. to txb (-1 pads)
@@ -180,9 +182,10 @@ def _corr_kernel_v5(jjs_ref, tys_ref, txbs_ref, ss_ref, oky_ref,  # prefetch
             grepf = jax.lax.dot_general(
                 ohcH, gexp, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(cdt)
-            tapy = rye_ref[0, 0:1, pl.ds(lo, PPD2)] + tys_ref[e]
+            tapy = (rye_ref[0, 0:1, pl.ds(lo, PPD2)] + tys_ref[e]
+                    + YSHIFT * (ss_ref[e] // 2))
             tapx = (rxe_ref[0, 0:1, pl.ds(lo, PPD2)] + txbs_ref[e]
-                    + XSHIFT * ss_ref[e])
+                    + XSHIFT * (ss_ref[e] % 2))
             g2f = jnp.where(yofH == tapy, grepf, jnp.zeros((), cdt))
             full2d = fcache[0].reshape(C * Hp, Wpc)
             Tf = jax.lax.dot_general(
@@ -271,15 +274,18 @@ def padded_dims(H, W, radius=3):
 
 def pad_fmap(fmap, radius=3):
     """Zero-pad a (..., C, H, W) frame pyramid into the kernel layout
-    (..., 2, C, Hp, Wpc) with the XSHIFT-shifted second copy."""
+    (..., 4, C, Hp, Wpc): copies shifted by (0/YSHIFT rows, 0/XSHIFT
+    cols) so any 4-row/64-col-aligned window origin is sublane/lane
+    aligned in one of them."""
     H, W = fmap.shape[-2:]
     D = 2 * radius + 2
     Hp, Wpc = padded_dims(H, W, radius)
-    pad = [(0, 0)] * (fmap.ndim - 2) + [(D, Hp - H - D),
+    pad = [(0, 0)] * (fmap.ndim - 2) + [(D, Hp + YSHIFT - H - D),
                                         (D, Wpc + XSHIFT - W - D)]
     fpadx = jnp.pad(fmap, pad)
-    return jnp.stack([fpadx[..., :Wpc], fpadx[..., XSHIFT:XSHIFT + Wpc]],
-                     axis=-4)
+    return jnp.stack(
+        [fpadx[..., sy:sy + Hp, sx:sx + Wpc]
+         for sy in (0, YSHIFT) for sx in (0, XSHIFT)], axis=-4)
 
 
 @partial(jax.jit, static_argnames=("radius", "E_pad_static", "H", "W"))
@@ -305,12 +311,16 @@ def _corr_pallas_planned(gmap, fpad, coords, ii, jj, order, jj_steps, inv,
     fx = (x - jnp.floor(x)).astype(jnp.float32)
     fy = (y - jnp.floor(y)).astype(jnp.float32)
 
-    ty = jnp.clip((jnp.min(iy0, axis=1) // 8) * 8, 0, Hp - TH_)
+    a4 = jnp.clip((jnp.min(iy0, axis=1) // YSHIFT) * YSHIFT,
+                  0, Hp + YSHIFT - TH_)
+    sy = (a4 % 8) // YSHIFT                                 # y copy index
+    ty = a4 - YSHIFT * sy                                   # 8-aligned
     a64 = jnp.clip((jnp.min(ix0, axis=1) // XSHIFT) * XSHIFT,
                    0, Wpc + XSHIFT - TWB)
-    s = (a64 % TWB) // XSHIFT                               # copy index
-    txb = a64 - XSHIFT * s                                  # 128-aligned
-    ry = iy0 - ty[:, None]                                  # (E, PP)
+    sx = (a64 % TWB) // XSHIFT                              # x copy index
+    txb = a64 - XSHIFT * sx                                 # 128-aligned
+    s = 2 * sy + sx                                         # fcache view
+    ry = iy0 - a4[:, None]                                  # (E, PP)
     rx = ix0 - a64[:, None]
     oky = (jnp.all((ry >= 0) & (ry <= TH_ - D), axis=1)
            & jnp.all((rx >= 0) & (rx <= TWB - D), axis=1)).astype(jnp.int32)
@@ -357,7 +367,7 @@ def _corr_pallas_planned(gmap, fpad, coords, ii, jj, order, jj_steps, inv,
         out_specs=pl.BlockSpec((TE, PPD2, D), lambda g, *_: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, C, Hp, Wpc), fpad.dtype),
+            pltpu.VMEM((4, C, Hp, Wpc), fpad.dtype),
             pltpu.VMEM((SUBTE, C * TH_, PPD2), fpad.dtype),
             pltpu.VMEM((SUBTE, PPD2, PPD2), fpad.dtype),
             pltpu.SemaphoreType.DMA,
@@ -367,6 +377,8 @@ def _corr_pallas_planned(gmap, fpad, coords, ii, jj, order, jj_steps, inv,
         partial(_corr_kernel_v5, C=C, PP=PP, D=D, Hp=Hp, Wpc=Wpc, TH_=TH_),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((EP, PPD2, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
     )(jj_steps.astype(jnp.int32), ty_s.astype(jnp.int32),
       txb_s.astype(jnp.int32), s_s.astype(jnp.int32), oky_s.astype(jnp.int32),
       ge_s, rxe_s.astype(jnp.int32), rye_s.astype(jnp.int32), fpad)

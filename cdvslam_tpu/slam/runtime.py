@@ -398,19 +398,22 @@ class SLAM:
                 imap_buf = jax.lax.dynamic_update_slice(imap_buf, ictx[0], (slot_p, 0))
                 gmap_buf = jax.lax.dynamic_update_slice(gmap_buf, gmap[0], (slot_p, 0, 0, 0))
                 # frame pyramids live pre-padded in the corr kernel
-                # layout (slot, copy, C, Hp, Wpc): copy 0 holds the image
-                # at (D, D)=(8, 8); copy 1 is shifted 64 px left (image
-                # columns 56.. land at column 0), so the kernel's
-                # lane-aligned band slices work for any 64-aligned origin
-                f1buf = jax.lax.dynamic_update_slice(
-                    f1buf, f1[None, None], (n % mem, 0, 0, 8, 8))
-                f1buf = jax.lax.dynamic_update_slice(
-                    f1buf, f1[:, :, 56:][None, None], (n % mem, 1, 0, 8, 0))
-                f2buf = jax.lax.dynamic_update_slice(
-                    f2buf, f2[None, None], (n % mem, 0, 0, 8, 8))
-                if f2.shape[-1] > 56:
-                    f2buf = jax.lax.dynamic_update_slice(
-                        f2buf, f2[:, :, 56:][None, None], (n % mem, 1, 0, 8, 0))
+                # layout (slot, copy, C, Hp, Wpc): 4 copies shifted by
+                # (0/4 rows, 0/64 cols) so any 4-row/64-col aligned band
+                # origin is sublane/lane aligned in one of them (copy
+                # index 2*sy + sx; image top-left at (8-4*sy, 8-64*sx))
+                def _wr(buf, f):
+                    for c, (ro, src) in enumerate(
+                            [(8, f), (8, f[:, :, 56:]),
+                             (4, f), (4, f[:, :, 56:])]):
+                        if src.shape[-1] == 0:
+                            continue
+                        co = 8 if c % 2 == 0 else 0
+                        buf = jax.lax.dynamic_update_slice(
+                            buf, src[None, None], (n % mem, c, 0, ro, co))
+                    return buf
+                f1buf = _wr(f1buf, f1)
+                f2buf = _wr(f2buf, f2)
                 colors_buf = colors_buf.at[n].set(clr[0].astype(colors_buf.dtype))
                 seg_buf = seg_buf.at[n].set(seg_row)
                 scale_buf = scale_buf.at[n].set(

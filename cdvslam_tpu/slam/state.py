@@ -57,8 +57,8 @@ class PatchGraph:
         from ..ops.corr_pallas import padded_dims
         Hp1, Wp1 = padded_dims(ht4, wd4)
         Hp2, Wp2 = padded_dims(ht4 // 4, wd4 // 4)
-        self.fmap1_ = jnp.zeros((mem, 2, DIMF, Hp1, Wp1), fdtype)
-        self.fmap2_ = jnp.zeros((mem, 2, DIMF, Hp2, Wp2), fdtype)
+        self.fmap1_ = jnp.zeros((mem, 4, DIMF, Hp1, Wp1), fdtype)
+        self.fmap2_ = jnp.zeros((mem, 4, DIMF, Hp2, Wp2), fdtype)
 
         # host edge lists (active)
         self.ii = np.zeros(0, np.int64)
