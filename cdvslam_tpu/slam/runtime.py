@@ -688,7 +688,9 @@ class SLAM:
         # FLAT int16 upload: the remote transport pays a large layout /
         # size penalty on multi-dim payloads; all packed values fit i16
         assert packed.max() < 32767 and packed.min() >= -32768
-        return k0, KWIN, jnp.asarray(packed.astype(np.int16).reshape(-1))
+        # device_put keeps the host->device copy asynchronous so it
+        # overlaps the previous frame's device work
+        return k0, KWIN, jax.device_put(packed.astype(np.int16).reshape(-1))
 
     def _patch_window(self, k0, KWIN=None):
         KWIN = KWIN or self.KWIN
@@ -1090,7 +1092,7 @@ class SLAM:
         """Start the async host->device upload of a future frame; pass the
         same array to __call__ later and the upload will already be in
         flight (hides the image transfer latency)."""
-        arr = jnp.asarray(np.asarray(image).reshape(-1))
+        arr = jax.device_put(np.asarray(image).reshape(-1))
         if not hasattr(self, "_prefetched"):
             self._prefetched = {}
         self._prefetched[id(image)] = arr
@@ -1122,7 +1124,7 @@ class SLAM:
             pref = getattr(self, "_prefetched", {})
             image_dev = pref.pop(id(image), None)
             if image_dev is None:
-                image_dev = jnp.asarray(np.asarray(image).reshape(-1))
+                image_dev = jax.device_put(np.asarray(image).reshape(-1))
             pg.tstamps_[n] = pg.counter
             if n > 1 and cfg.MOTION_MODEL == "DAMPED_LINEAR":
                 *_, a, b, c = [1] * 3 + self.tlist
@@ -1233,7 +1235,7 @@ class SLAM:
         if image_dev is None:
             # flat 1-D upload (multi-dim payloads are slow on the remote
             # transport); frame_fn reshapes on device
-            image_dev = jnp.asarray(np.asarray(image).reshape(-1))
+            image_dev = jax.device_put(np.asarray(image).reshape(-1))
         pg.tstamps_[n] = pg.counter
         if n > 1 and cfg.MOTION_MODEL == "DAMPED_LINEAR":
             *_, a, b, c = [1] * 3 + self.tlist
