@@ -163,6 +163,23 @@ class DinoVisionTransformer(nn.Module):
     def norm_tokens(self, t):
         return self.out_norm(t)
 
+    def advance(self, x, step_i: int, norm: bool = True):
+        """Incremental per-block evaluation (reference dinov2.py:302-331):
+        step 0 embeds the image and runs block 0; later steps run one
+        block on the previous step's PRE-NORM tokens; steps >= depth pass
+        through. Lets a caller amortize the backbone across frames.
+        Returns (pre_norm_tokens, output_tokens, cls) where output/cls
+        are (optionally) final-norm'd."""
+        if step_i == 0:
+            t = self.prepare_tokens(x)
+            t = self.blocks_list[0](t)
+        elif step_i >= self.depth:
+            t = x
+        else:
+            t = self.blocks_list[step_i](x)
+        out = self.out_norm(t) if norm else t
+        return t, out[:, 1:], out[:, 0]
+
 
 def pad_to_multiple(img, multiple=14, mode="right"):
     """Zero-pad H, W up to a multiple (reference hub/utils.py:23-46).

@@ -135,8 +135,19 @@ class SLAM:
 
         self.viewer = None
         if viz:
-            from ..viz.viewer import SnapshotViewer
-            self.viewer = SnapshotViewer(self)
+            # viz=True -> interactive browser viewer (reference o3dviewer
+            # equivalent); viz="snapshot" -> headless PNG snapshots
+            if viz == "snapshot":
+                from ..viz.viewer import SnapshotViewer
+                self.viewer = SnapshotViewer(self)
+            else:
+                try:
+                    from ..viz.web_viewer import WebViewer
+                    self.viewer = WebViewer(self)
+                except Exception as e:
+                    warn(f"web viewer unavailable ({e}); using snapshots")
+                    from ..viz.viewer import SnapshotViewer
+                    self.viewer = SnapshotViewer(self)
 
         self._frame_fn = None   # lazily built per network type
         self._frame_body = None

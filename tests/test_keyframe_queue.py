@@ -100,12 +100,13 @@ def test_deferred_compaction_defers_device_work():
     E_pad = pg.bucket(pg.E)
     pg._grow(E_pad)
     _, _, packed = slam._prepare_update(pg.ii, pg.jj, pg.kk, E_pad)
-    g = np.asarray(packed)[12]
+    g = np.asarray(packed).reshape(16, -1)[12]
     np.testing.assert_array_equal(g[:nkeep], keep)
     assert pg._pending_gather is None
     # without a pending compaction the gather row is identity
     _, _, packed2 = slam._prepare_update(pg.ii, pg.jj, pg.kk, E_pad)
-    np.testing.assert_array_equal(np.asarray(packed2)[12, :E_pad], np.arange(E_pad))
+    np.testing.assert_array_equal(
+        np.asarray(packed2).reshape(16, -1)[12, :E_pad], np.arange(E_pad))
 
 
 def test_queue_drain_at_terminate_applies_decisions():
@@ -145,7 +146,7 @@ def test_prepare_update_packed_plan_rows():
     kk = ii * 4 + rng.randint(0, 4, E)
     E_pad = slam.pg.bucket(E)
     k0, KWIN, packed = slam._prepare_update(ii, jj, kk, E_pad)
-    pk = np.asarray(packed)
+    pk = np.asarray(packed).reshape(16, -1)
     EP2 = corr_epad(E_pad, slam.mem)
     assert pk.shape == (16, EP2)
     jjm_pad = np.concatenate([jj % slam.mem, np.zeros(E_pad - E, np.int64)])

@@ -129,3 +129,28 @@ def test_dpt_head():
     # reassemble scales: x4 on first tap -> fusion chain doubles each stage
     assert out.shape[0] == B and out.shape[-1] == 1
     assert float(out.min()) >= head.min_depth - 1e-6
+
+
+def test_dino_advance_matches_full_forward():
+    """Incremental advance() (reference dinov2.py:302-331) reproduces the
+    tapped full forward pre-norm tokens."""
+    from cdvslam_tpu.models.dinov2 import DinoVisionTransformer as DinoViT
+
+    vit = DinoViT(depth=4)
+    img = jnp.asarray(np.random.RandomState(0).rand(1, 28, 42, 3), jnp.float32)
+
+    def initfn(m, x):
+        outs = m(x, taps=(0, 1, 2, 3))
+        m.norm_tokens(outs[-1])
+        return outs
+
+    p = vit.init(jax.random.PRNGKey(0), img, method=initfn)
+    full = vit.apply(p, img, taps=(0, 1, 2, 3))
+    t = img
+    for i in range(4):
+        t, out, cls = vit.apply(p, t, i, method=DinoViT.advance)
+        np.testing.assert_allclose(np.asarray(t), np.asarray(full[i]),
+                                   rtol=2e-5, atol=2e-5)
+    # past-depth steps pass through
+    t2, _, _ = vit.apply(p, t, 7, method=DinoViT.advance)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t))
