@@ -7,6 +7,12 @@ steady-state frames/sec after compilation warmup.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: 60 FPS target on one v5e chip (BASELINE.md).
+
+Sensitivity note: random weights + forced keyframe acceptance pin the
+workload at the all-frames-kept steady state (E ~ 9600 active edges,
+the densest dispatch mix). Trained weights on real sequences remove
+some keyframes, which can only SHRINK the edge set, so this measures
+the conservative (slowest) steady state.
 """
 import json
 import os
