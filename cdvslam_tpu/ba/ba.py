@@ -164,43 +164,6 @@ def ba_solve(
     dtype = poses.dtype
     E = ii.shape[0]
 
-    # -- one-hot scatter matrices (XLA segment_sum lowers to a serialized
-    # scatter on TPU, ~4 ms at E=12k; 0/1 matmuls assemble the same sums
-    # on the MXU). Edge indices are iteration-invariant, so these are
-    # built ONCE per solve and reused by every GN iteration. f32 one-hots
-    # keep the accumulation exact.
-    ix = ii - t0                                              # local pose idx
-    jx = jj - t0
-    vi = ix >= 0
-    vj = jx >= 0
-    kid = jnp.clip(kk, 0, K - 1)
-
-    def onehot(ids, n):
-        io = jax.lax.broadcasted_iota(jnp.int32, (n, ids.shape[0]), 0)
-        return (io == ids[None, :]).astype(jnp.float32)
-
-    def bid(a, b, va, vb):
-        return jnp.where(va & vb & mask,
-                         jnp.clip(a, 0, N - 1) * N + jnp.clip(b, 0, N - 1),
-                         N * N)
-
-    oh_b = onehot(jnp.concatenate([bid(ix, ix, vi, vi), bid(jx, jx, vj, vj),
-                                   bid(ix, jx, vi, vj), bid(jx, ix, vj, vi)]),
-                  N * N)                                      # (N*N, 4E)
-    oh_k = onehot(jnp.where(mask, kid, K), K)                 # (K, E)
-    # E-block assembly: per-pose masks folded into the values, shared
-    # patch one-hot over the (i, j) contribution concat
-    kid2 = jnp.concatenate([jnp.where(vi & mask, kid, K),
-                            jnp.where(vj & mask, kid, K)])
-    oh_k2 = onehot(kid2, K)                                   # (K, 2E)
-    ix2 = jnp.concatenate([jnp.where(vi & mask, jnp.clip(ix, 0, N - 1), N),
-                           jnp.where(vj & mask, jnp.clip(jx, 0, N - 1), N)])
-    oh_v = onehot(ix2, N)                                     # (N, 2E)
-
-    def ohsum(oh, vals):
-        return jax.lax.dot_general(oh, vals, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-
     def one_iteration(carry, _):
         poses, patches = carry
 
@@ -211,6 +174,16 @@ def ba_solve(
         w = weight * (inb & mask)[:, None].astype(dtype)     # (E,2)
         r = jnp.where((inb & mask)[:, None], r, 0.0)
 
+        ix = ii - t0                                          # local pose index
+        jx = jj - t0
+        vi = ix >= 0
+        vj = jx >= 0
+        nseg_b = N * N + 1
+        bad = N * N
+
+        def bid(a, b, va, vb):
+            return jnp.where(va & vb & mask, jnp.clip(a, 0, N - 1) * N + jnp.clip(b, 0, N - 1), bad)
+
         # per-edge 6x6 blocks summed over the 2 residual rows
         def blk(Ja, Jb):
             return jnp.einsum("er,eri,erj->eij", w, Ja, Jb,
@@ -220,30 +193,47 @@ def ba_solve(
         Bjj = blk(Jj, Jj)
         Bij = -blk(Ji, Jj)
 
-        Bflat = ohsum(
-            oh_b,
-            jnp.concatenate([Bii, Bjj, Bij, jnp.swapaxes(Bij, 1, 2)],
-                            0).reshape(4 * E, 36),
-        ).reshape(N * N, 6, 6)
+        Bflat = jax.ops.segment_sum(
+            jnp.concatenate([Bii, Bjj, Bij, jnp.swapaxes(Bij, 1, 2)], 0),
+            jnp.concatenate([bid(ix, ix, vi, vi), bid(jx, jx, vj, vj),
+                             bid(ix, jx, vi, vj), bid(jx, ix, vj, vi)], 0),
+            num_segments=nseg_b,
+        )[:bad]
         B = Bflat.reshape(N, N, 6, 6).transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
 
         # E blocks: (pose, patch) -> 6-vec
         ei = -jnp.einsum("er,eri,er->ei", w, Ji, Jz, preferred_element_type=jnp.float32)
         ej = jnp.einsum("er,eri,er->ei", w, Jj, Jz, preferred_element_type=jnp.float32)
-        eij = jnp.concatenate([ei, ej], 0)                    # (2E, 6)
-        Emat = jnp.stack([
-            ohsum(oh_k2, jnp.where((ix2 == n)[:, None], eij, 0.0))
-            for n in range(N)
-        ])                                                    # (N, K, 6)
+        kid = jnp.clip(kk, 0, K - 1)
+        nseg_e = N * K + 1
+        bad_e = N * K
+
+        def eid(a, va):
+            return jnp.where(va & mask, jnp.clip(a, 0, N - 1) * K + kid, bad_e)
+
+        Emat = jax.ops.segment_sum(
+            jnp.concatenate([ei, ej], 0),
+            jnp.concatenate([eid(ix, vi), eid(jx, vj)], 0),
+            num_segments=nseg_e,
+        )[:bad_e].reshape(N, K, 6)
 
         # C, u over patches
-        C = ohsum(oh_k, (jnp.sum(w * Jz * Jz, -1))[:, None])[:, 0]
-        u = ohsum(oh_k, (jnp.sum(w * r * Jz, -1))[:, None])[:, 0]
+        kseg = jnp.where(mask, kid, K)
+        C = jax.ops.segment_sum(jnp.sum(w * Jz * Jz, -1), kseg, num_segments=K + 1)[:K]
+        u = jax.ops.segment_sum(jnp.sum(w * r * Jz, -1), kseg, num_segments=K + 1)[:K]
 
         # v over poses
         vi_vec = -jnp.einsum("er,eri->ei", w * r, Ji, preferred_element_type=jnp.float32)
         vj_vec = jnp.einsum("er,eri->ei", w * r, Jj, preferred_element_type=jnp.float32)
-        v = ohsum(oh_v, jnp.concatenate([vi_vec, vj_vec], 0)).reshape(6 * N)
+
+        def vid(a, va):
+            return jnp.where(va & mask, jnp.clip(a, 0, N - 1), N)
+
+        v = jax.ops.segment_sum(
+            jnp.concatenate([vi_vec, vj_vec], 0),
+            jnp.concatenate([vid(ix, vi), vid(jx, vj)], 0),
+            num_segments=N + 1,
+        )[:N].reshape(6 * N)
 
         Q = 1.0 / (C + params.lmbda)                          # (K,)
 
@@ -284,7 +274,7 @@ def ba_solve(
             # reference ba.py:179
             d_new = jnp.clip(d_new, 1e-3, 10.0)
         # only update patches actually touched by valid edges
-        touched = ohsum(oh_k, mask.astype(jnp.float32)[:, None])[:, 0] > 0
+        touched = jax.ops.segment_sum(mask.astype(jnp.int32), kseg, num_segments=K + 1)[:K] > 0
         d_new = jnp.where(touched, d_new, d_old)
         P = patches.shape[-1]
         patches = patches.at[:, 2].set(jnp.broadcast_to(d_new[:, None, None], (K, P, P)))

@@ -69,7 +69,5 @@ def test_global_matches_dense():
         1, N=NF - 1, K=NF * M, M=M, G=idx["G_pad"], C=idx["C_pad"], iterations=3,
     )
 
-    # tolerance covers f32 reassociation between the one-hot dense
-    # assembly and the block-sparse path
-    np.testing.assert_allclose(p_glob, p_dense, atol=1e-4, rtol=5e-4)
-    np.testing.assert_allclose(d_glob[:, 2, 1, 1], d_dense[:, 2, 1, 1], atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(p_glob, p_dense, atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(d_glob[:, 2, 1, 1], d_dense[:, 2, 1, 1], atol=2e-5, rtol=1e-4)
