@@ -8,6 +8,12 @@ steady-state frames/sec after compilation warmup.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: 60 FPS target on one v5e chip (BASELINE.md).
 
+Methodology (round 3): the loop-level number historically swung +-40%
+run-to-run with a single short (30-frame) window. Now it times THREE
+independent 100-frame windows and reports the MEDIAN window; per-window
+figures go to stderr so a noisy run is visible. Two consecutive
+invocations agree within ~+-10% (BASELINE.md).
+
 Sensitivity note: random weights + forced keyframe acceptance pin the
 workload at the all-frames-kept steady state (E ~ 9600 active edges,
 the densest dispatch mix). Trained weights on real sequences remove
@@ -45,23 +51,31 @@ def main():
     # warmup: initialization + enough steady-state frames for the edge
     # count to reach its terminal bucket (compiles all kernel variants)
     WARM = 60
-    TIMED = 30
+    WIN = 100    # frames per timed window
+    NWIN = 3     # windows; the reported figure is the median
     for f in range(WARM):
         slam(f, frames[f % len(frames)], intr)
     jax.block_until_ready(slam.pg.poses_)
 
     # steady-state throughput: the loop is pipelined (async dispatch +
-    # one-frame upload prefetch), so block once at the end of the window
-    slam.prefetch(frames[WARM % len(frames)])
-    t0 = time.perf_counter()
-    for f in range(WARM, WARM + TIMED):
-        img = frames[f % len(frames)]
-        slam.prefetch(frames[(f + 1) % len(frames)])
-        slam(f, img, intr)
-    jax.block_until_ready(slam.pg.poses_)
-    dt = (time.perf_counter() - t0) / TIMED
+    # one-frame upload prefetch), so block once at the end of each window
+    fps_windows = []
+    fidx = WARM
+    for w in range(NWIN):
+        slam.prefetch(frames[fidx % len(frames)])
+        t0 = time.perf_counter()
+        for f in range(fidx, fidx + WIN):
+            img = frames[f % len(frames)]
+            slam.prefetch(frames[(f + 1) % len(frames)])
+            slam(f, img, intr)
+        jax.block_until_ready(slam.pg.poses_)
+        dt = time.perf_counter() - t0
+        fps_windows.append(WIN / dt)
+        fidx += WIN
+    print(f"bench windows (fps): "
+          f"{', '.join(f'{x:.2f}' for x in fps_windows)}", file=sys.stderr)
 
-    fps = 1.0 / dt
+    fps = float(np.median(fps_windows))
     print(json.dumps({
         "metric": "euroc_res_odometry_fps",
         "value": round(fps, 2),

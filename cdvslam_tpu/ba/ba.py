@@ -135,7 +135,8 @@ def _validity(r, x1, y1, Z, cx, cy, params: BAParams, bounds):
     return inb
 
 
-@partial(jax.jit, static_argnames=("N", "K", "iterations", "params", "structure_only", "use_bounds"))
+@partial(jax.jit, static_argnames=("N", "K", "iterations", "params",
+                                   "structure_only", "use_bounds", "assembly"))
 def ba_solve(
     poses: jnp.ndarray,        # (NP, 7)
     patches: jnp.ndarray,      # (K, 3, P, P) window of patches
@@ -155,14 +156,61 @@ def ba_solve(
     structure_only: bool = False,
     use_bounds: bool = False,
     bounds=None,               # (4,) array if use_bounds
+    assembly: str = "scatter",  # 'scatter' | 'onehot'
 ):
     """Damped Gauss-Newton over window poses + patch inverse depths.
 
     Returns (poses, patches) with the window updated in place.
+
+    ``assembly`` selects how the normal equations are summed over edges:
+    'scatter' uses deterministic segment_sum (XLA lowers it to a
+    serialized per-row scatter on TPU, ~4 ms/GN iteration at E=12k);
+    'onehot' assembles the same sums as 0/1-matrix matmuls on the MXU
+    (2.9x faster) at the cost of f32 reassociation noise (~1e-5
+    relative). The steady-state 2-iteration local window is well
+    conditioned and tolerates that noise; the 12x initialization /
+    termination / global solves are NOT (a 1e-5 Hessian perturbation
+    there measurably changed the trajectory and broke loop-closure
+    quality, see commit cd39a1f) -- keep those on 'scatter'.
     """
     cx, cy = intrinsics[2], intrinsics[3]
     dtype = poses.dtype
     E = ii.shape[0]
+
+    if assembly == "onehot":
+        # one-hot scatter matrices, built ONCE per solve (edge indices are
+        # iteration-invariant) and reused by every GN iteration
+        ixh = ii - t0
+        jxh = jj - t0
+        vih = ixh >= 0
+        vjh = jxh >= 0
+        kidh = jnp.clip(kk, 0, K - 1)
+
+        def onehot(ids, n):
+            io = jax.lax.broadcasted_iota(jnp.int32, (n, ids.shape[0]), 0)
+            return (io == ids[None, :]).astype(jnp.float32)
+
+        def bidh(a, b, va, vb):
+            return jnp.where(va & vb & mask,
+                             jnp.clip(a, 0, N - 1) * N + jnp.clip(b, 0, N - 1),
+                             N * N)
+
+        oh_b = onehot(
+            jnp.concatenate([bidh(ixh, ixh, vih, vih), bidh(jxh, jxh, vjh, vjh),
+                             bidh(ixh, jxh, vih, vjh), bidh(jxh, ixh, vjh, vih)]),
+            N * N)                                            # (N*N, 4E)
+        oh_k = onehot(jnp.where(mask, kidh, K), K)            # (K, E)
+        kid2 = jnp.concatenate([jnp.where(vih & mask, kidh, K),
+                                jnp.where(vjh & mask, kidh, K)])
+        oh_k2 = onehot(kid2, K)                               # (K, 2E)
+        ix2 = jnp.concatenate(
+            [jnp.where(vih & mask, jnp.clip(ixh, 0, N - 1), N),
+             jnp.where(vjh & mask, jnp.clip(jxh, 0, N - 1), N)])
+        oh_v = onehot(ix2, N)                                 # (N, 2E)
+
+        def ohsum(oh, vals):
+            return jax.lax.dot_general(oh, vals, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
 
     def one_iteration(carry, _):
         poses, patches = carry
@@ -193,47 +241,63 @@ def ba_solve(
         Bjj = blk(Jj, Jj)
         Bij = -blk(Ji, Jj)
 
-        Bflat = jax.ops.segment_sum(
-            jnp.concatenate([Bii, Bjj, Bij, jnp.swapaxes(Bij, 1, 2)], 0),
-            jnp.concatenate([bid(ix, ix, vi, vi), bid(jx, jx, vj, vj),
-                             bid(ix, jx, vi, vj), bid(jx, ix, vj, vi)], 0),
-            num_segments=nseg_b,
-        )[:bad]
-        B = Bflat.reshape(N, N, 6, 6).transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
-
         # E blocks: (pose, patch) -> 6-vec
         ei = -jnp.einsum("er,eri,er->ei", w, Ji, Jz, preferred_element_type=jnp.float32)
         ej = jnp.einsum("er,eri,er->ei", w, Jj, Jz, preferred_element_type=jnp.float32)
         kid = jnp.clip(kk, 0, K - 1)
-        nseg_e = N * K + 1
-        bad_e = N * K
-
-        def eid(a, va):
-            return jnp.where(va & mask, jnp.clip(a, 0, N - 1) * K + kid, bad_e)
-
-        Emat = jax.ops.segment_sum(
-            jnp.concatenate([ei, ej], 0),
-            jnp.concatenate([eid(ix, vi), eid(jx, vj)], 0),
-            num_segments=nseg_e,
-        )[:bad_e].reshape(N, K, 6)
-
-        # C, u over patches
         kseg = jnp.where(mask, kid, K)
-        C = jax.ops.segment_sum(jnp.sum(w * Jz * Jz, -1), kseg, num_segments=K + 1)[:K]
-        u = jax.ops.segment_sum(jnp.sum(w * r * Jz, -1), kseg, num_segments=K + 1)[:K]
 
         # v over poses
         vi_vec = -jnp.einsum("er,eri->ei", w * r, Ji, preferred_element_type=jnp.float32)
         vj_vec = jnp.einsum("er,eri->ei", w * r, Jj, preferred_element_type=jnp.float32)
 
-        def vid(a, va):
-            return jnp.where(va & mask, jnp.clip(a, 0, N - 1), N)
+        if assembly == "onehot":
+            Bflat = ohsum(
+                oh_b,
+                jnp.concatenate([Bii, Bjj, Bij, jnp.swapaxes(Bij, 1, 2)],
+                                0).reshape(4 * E, 36),
+            ).reshape(N * N, 6, 6)
+            B = Bflat.reshape(N, N, 6, 6).transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
+            eij = jnp.concatenate([ei, ej], 0)                # (2E, 6)
+            Emat = jnp.stack([
+                ohsum(oh_k2, jnp.where((ix2 == n)[:, None], eij, 0.0))
+                for n in range(N)
+            ])                                                # (N, K, 6)
+            C = ohsum(oh_k, (jnp.sum(w * Jz * Jz, -1))[:, None])[:, 0]
+            u = ohsum(oh_k, (jnp.sum(w * r * Jz, -1))[:, None])[:, 0]
+            v = ohsum(oh_v, jnp.concatenate([vi_vec, vj_vec], 0)).reshape(6 * N)
+        else:
+            Bflat = jax.ops.segment_sum(
+                jnp.concatenate([Bii, Bjj, Bij, jnp.swapaxes(Bij, 1, 2)], 0),
+                jnp.concatenate([bid(ix, ix, vi, vi), bid(jx, jx, vj, vj),
+                                 bid(ix, jx, vi, vj), bid(jx, ix, vj, vi)], 0),
+                num_segments=nseg_b,
+            )[:bad]
+            B = Bflat.reshape(N, N, 6, 6).transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
 
-        v = jax.ops.segment_sum(
-            jnp.concatenate([vi_vec, vj_vec], 0),
-            jnp.concatenate([vid(ix, vi), vid(jx, vj)], 0),
-            num_segments=N + 1,
-        )[:N].reshape(6 * N)
+            nseg_e = N * K + 1
+            bad_e = N * K
+
+            def eid(a, va):
+                return jnp.where(va & mask, jnp.clip(a, 0, N - 1) * K + kid, bad_e)
+
+            Emat = jax.ops.segment_sum(
+                jnp.concatenate([ei, ej], 0),
+                jnp.concatenate([eid(ix, vi), eid(jx, vj)], 0),
+                num_segments=nseg_e,
+            )[:bad_e].reshape(N, K, 6)
+
+            C = jax.ops.segment_sum(jnp.sum(w * Jz * Jz, -1), kseg, num_segments=K + 1)[:K]
+            u = jax.ops.segment_sum(jnp.sum(w * r * Jz, -1), kseg, num_segments=K + 1)[:K]
+
+            def vid(a, va):
+                return jnp.where(va & mask, jnp.clip(a, 0, N - 1), N)
+
+            v = jax.ops.segment_sum(
+                jnp.concatenate([vi_vec, vj_vec], 0),
+                jnp.concatenate([vid(ix, vi), vid(jx, vj)], 0),
+                num_segments=N + 1,
+            )[:N].reshape(6 * N)
 
         Q = 1.0 / (C + params.lmbda)                          # (K,)
 
@@ -274,7 +338,11 @@ def ba_solve(
             # reference ba.py:179
             d_new = jnp.clip(d_new, 1e-3, 10.0)
         # only update patches actually touched by valid edges
-        touched = jax.ops.segment_sum(mask.astype(jnp.int32), kseg, num_segments=K + 1)[:K] > 0
+        if assembly == "onehot":
+            touched = ohsum(oh_k, mask.astype(jnp.float32)[:, None])[:, 0] > 0
+        else:
+            touched = jax.ops.segment_sum(
+                mask.astype(jnp.int32), kseg, num_segments=K + 1)[:K] > 0
         d_new = jnp.where(touched, d_new, d_old)
         P = patches.shape[-1]
         patches = patches.at[:, 2].set(jnp.broadcast_to(d_new[:, None, None], (K, P, P)))

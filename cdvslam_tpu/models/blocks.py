@@ -59,7 +59,16 @@ class SoftAgg(nn.Module):
         oh = (io == ids_m[None, :]).astype(x.dtype)          # (S, E)
 
         def agg(f1, g1):
-            z = g1 - jax.lax.stop_gradient(jnp.max(g1))
+            # stabilize with the max over VALID rows only: a masked row
+            # carrying a large logit would otherwise shift z until every
+            # real segment's exp underflows and the aggregation collapses
+            if mask is not None:
+                gm = jnp.max(jnp.where(mask[:, None], g1, -jnp.inf))
+                gm = jnp.where(jnp.isfinite(gm), gm, jnp.zeros((), g1.dtype))
+                z = jnp.where(mask[:, None],
+                              g1 - jax.lax.stop_gradient(gm), -1e9)
+            else:
+                z = g1 - jax.lax.stop_gradient(jnp.max(g1))
             ex = jnp.exp(z.astype(jnp.float32)).astype(f1.dtype)
             if mask is not None:
                 ex = jnp.where(mask[:, None], ex, 0.0)

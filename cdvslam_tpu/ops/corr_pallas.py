@@ -18,20 +18,32 @@ selection matrices. Per edge (all P*P pixels together, tap columns
     vol   = block-diagonal of out2                # (PP, D, D) taps
     out   = 4-tap bilinear blend (XLA side)       # (PP, D-1, D-1)
 
-The one-lane-wide band is possible because the frame is staged as TWO
-COPIES shifted by 64 px, so any 64-aligned column origin is 128-aligned
-in one of the copies (x-span <= 74 always fits; no x fallback exists).
+The one-lane-wide band is possible because the frame is staged as FOUR
+SHIFTED COPIES -- (0/4 rows, 0/64 cols) -- so any 4-row/64-col-aligned
+window origin is sublane/lane aligned in one of them. Edges whose taps
+still overflow the TH-row/128-col band (wild reprojections or clamp
+straddling in EITHER axis) take the exact slow-path fallback below.
 
 Scheduling: the per-step edge tile is TE (default 32) edges -- large,
 because the per-grid-step overhead (~2 us of block-DMA issue cost) must
 be amortized; edge runs per target frame are only padded to SUBTE=8 and
 the VMEM frame cache is re-filled by an explicit DMA at sub-tile
-boundaries when the target frame changes (~NF fetches per call). Within
-a step the work is split into three PHASES over the tile (build all G2,
-then all T matmuls, then all column-selects): the ops inside one phase
-are mutually independent same-shape ops, which lets the Mosaic
-scheduler overlap VPU and MXU work across edges -- a single per-edge
-dependence chain measured ~2x slower.
+boundaries when the target frame changes (~NF fetches per call).
+
+v6 batches the phases ACROSS edges wherever the operands allow it --
+the per-edge op-issue latency, not FLOPs, is what three generations of
+this kernel measured as the cost floor:
+
+  * phase A (G2 build) reads only the contiguously packed ge/rye
+    columns, so the WHOLE tile is built with one 4-op sequence over
+    (C*TH, TE*128) instead of 4 ops per edge;
+  * phase B (band gather matmul) stays per-edge -- each edge's band
+    origin (ty, txb, copy) differs, and those live only on device;
+  * phase C (column select) stacks CG edges' T rows into one
+    (CG*128, TWB) @ (TWB, CG*128) matmul; cross-edge products land in
+    off-diagonal blocks that the existing block-diagonal mask already
+    kills (rowidx//D == colidx//D forces edge AND patch-pixel match),
+    trading a CGx FLOP overshoot (cheap, MXU) for a CGx op reduction.
 
 Edges are pre-sorted by target frame (plan_corr_order on the host, or
 the jnp fallback here); outputs are written in sorted order and
@@ -59,6 +71,8 @@ TWB = 128                                   # column band width (one lane tile)
 XSHIFT = 64                                 # x copy column shift
 YSHIFT = 4                                  # y copy row shift
 PPD2 = 128                                  # padded per-edge tap columns
+CG = int(_os.environ.get("CORR_CG", "4"))   # phase-C cross-edge batch width
+assert TE % SUBTE == 0 and TE % CG == 0, "TE must be divisible by SUBTE and CG"
 
 
 def corr_epad(E, NF):
@@ -68,22 +82,23 @@ def corr_epad(E, NF):
     return -(e // -TE) * TE
 
 
-def _corr_kernel_v5(jjs_ref, tys_ref, txbs_ref, ss_ref, oky_ref,  # prefetch
+def _corr_kernel_v6(jjs_ref, tys_ref, txbs_ref, ss_ref, oky_ref,  # prefetch
                     ge_ref, rxe_ref, rye_ref, frame_hbm, out_ref,
-                    fcache, g2s, ts, sem,
+                    fcache, g2s, ts, fid, sem,
                     *, C, PP, D, Hp, Wpc, TH_):
     """One grid step = TE edges, sorted by target frame.
 
     frame_hbm: (NF, 4, C, Hp, Wpc) zero-padded frame, (0/4 row, 0/64
                col)-shifted copies (maintained incrementally by the
                runtime)
-    fcache:    (4, C, Hp, Wpc) VMEM scratch (current frame, all views)
-    g2s, ts:   (SUBTE, C*TH_, PPD2) / (SUBTE, PPD2, PPD2) phase scratch
+    fcache:  (4, C, Hp, Wpc) VMEM scratch (current frame, all views)
+    g2s:     (C*TH_, TE*PPD2) whole-tile G2 scratch (phase A output)
+    ts:      (TE*PPD2, TWB) stacked per-edge T rows (phase B output)
     ge_ref:  (1, C, TE*PPD2) patch features, tap-expanded, 128-col/edge
     rxe_ref: (1, 1, TE*PPD2) int32 column taps, rel. to txb (-1 pads)
     rye_ref: (1, 1, TE*PPD2) int32 row taps, relative to ty (-1 pads)
     oky_ref: (EP,) int32 fast-path flag (row taps fit the shared band)
-    out:     (TE, PPD2, D) f32 raw tap volumes, (p, u)-major rows
+    out:     (1, TE*PPD2, D) f32 raw tap volumes, (edge, p, u)-major rows
     """
     g = pl.program_id(0)
     cdt = fcache.dtype
@@ -98,60 +113,86 @@ def _corr_kernel_v5(jjs_ref, tys_ref, txbs_ref, ss_ref, oky_ref,  # prefetch
     ohy = (y_of_row == jax.lax.broadcasted_iota(
         jnp.int32, (1, TH_), 1)).astype(cdt)                # (C*TH_, TH_)
     wio = jax.lax.broadcasted_iota(jnp.int32, (TWB, 1), 0)  # (TWB, 1)
+    # per-edge (fallback) and CG-group (phase C) select/reduce constants;
+    # rowidx//D = e*(PPD2//D) + p uniquely keys (edge, patch pixel), so
+    # the group-sized block-diag mask kills every cross-edge product
     puio = jax.lax.broadcasted_iota(jnp.int32, (PPD2, 1), 0)
     qvio = jax.lax.broadcasted_iota(jnp.int32, (1, PPD2), 1)
     blockdiag = (puio // D) == (qvio // D)                  # (PPD2, PPD2)
     vio = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1)
     sumq = ((puio % D) == vio).astype(cdt)                  # (PPD2, D)
+    gpu = jax.lax.broadcasted_iota(jnp.int32, (CG * PPD2, 1), 0)
+    gqv = jax.lax.broadcasted_iota(jnp.int32, (1, CG * PPD2), 1)
+    blockdiag_g = (gpu // D) == (gqv // D)                  # (CG*PPD2, CG*PPD2)
+    sumq_g = ((gpu % D) == vio).astype(cdt)                 # (CG*PPD2, D)
+
+    # ---- phase A: build G2 for the WHOLE tile in one 4-op sequence ----
+    # (ge/rye columns are contiguous across edges, so nothing is per-edge)
+    if _os.environ.get("CORR_ABL") in ("no_a", "floor"):
+        g2s[...] = jnp.zeros((C * TH_, TE * PPD2), cdt)
+    else:
+        grep = jax.lax.dot_general(
+            ohc, ge_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(cdt)     # (C*TH_, TE*PPD2)
+        ysel = (yio == rye_ref[0, 0:1, :]).astype(cdt)          # (TH_, TE*PPD2)
+        yex = jax.lax.dot_general(
+            ohy, ysel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(cdt)
+        g2s[...] = grep * yex                                   # (C*TH_, TE*PPD2)
 
     for sub in range(TE // SUBTE):
         sg = g * (TE // SUBTE) + sub
 
-        @pl.when((sg == 0) | (jjs_ref[sg] != jjs_ref[jnp.maximum(sg - 1, 0)]))
+        # fid (SMEM, persists across grid steps) tracks which frame the
+        # VMEM cache currently holds; the slow-path fallback can leave a
+        # different frame in fcache, so comparing adjacent jjs entries is
+        # not a safe skip condition
+        @pl.when((sg == 0) | (fid[0] != jjs_ref[sg]))
         def _fetch():
             cp = pltpu.make_async_copy(frame_hbm.at[jjs_ref[sg]], fcache, sem)
             cp.start()
             cp.wait()
+            fid[0] = jjs_ref[sg]
 
-        # ---- phase A: build G2 for the sub-tile (VPU + tiny matmuls) ----
-        for k in range(SUBTE):
-            t = sub * SUBTE + k
-            lo = t * PPD2
-            gexp = ge_ref[0, :, lo:lo + PPD2]               # (C, PPD2)
-            grep = jax.lax.dot_general(
-                ohc, gexp, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(cdt)
-            ysel = (yio == rye_ref[0, 0:1, lo:lo + PPD2]).astype(cdt)
-            yex = jax.lax.dot_general(
-                ohy, ysel, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(cdt)
-            g2s[k] = grep * yex                             # (C*TH_, PPD2)
-
-        # ---- phase B: band gather matmuls (MXU, mutually independent) --
+        # ---- phase B: band gather matmuls (MXU, per edge: the band
+        # origin (ty, txb, copy) is different for every edge) -----------
         for k in range(SUBTE):
             t = sub * SUBTE + k
             e = g * TE + t
-            ty = pl.multiple_of(tys_ref[e], 8)
-            txb = pl.multiple_of(txbs_ref[e], 128)
-            band2d = fcache[ss_ref[e], :, pl.ds(ty, TH_),
-                            pl.ds(txb, TWB)].reshape(C * TH_, TWB)
-            ts[k] = jax.lax.dot_general(
-                g2s[k], band2d, (((0,), (0,)), ((), ())),
+            if _os.environ.get("CORR_ABL") == "static_slice":
+                band2d = fcache[0, :, 0:TH_, 0:TWB].reshape(C * TH_, TWB)
+            elif _os.environ.get("CORR_ABL") in ("no_b", "floor"):
+                ts[t * PPD2:(t + 1) * PPD2] = g2s[:PPD2, t * PPD2:(t + 1) * PPD2] * 0.0
+                continue
+            else:
+                ty = pl.multiple_of(tys_ref[e], 8)
+                txb = pl.multiple_of(txbs_ref[e], 128)
+                band2d = fcache[ss_ref[e], :, pl.ds(ty, TH_),
+                                pl.ds(txb, TWB)].reshape(C * TH_, TWB)
+            ts[t * PPD2:(t + 1) * PPD2] = jax.lax.dot_general(
+                g2s[:, t * PPD2:(t + 1) * PPD2], band2d,
+                (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(cdt)                                   # (PPD2, TWB)
 
-        # ---- phase C: column select + block-diag reduce ----------------
-        for k in range(SUBTE):
-            t = sub * SUBTE + k
-            lo = t * PPD2
-            cm0 = (wio == rxe_ref[0, 0:1, lo:lo + PPD2]).astype(cdt)
-            out2 = jax.lax.dot_general(
-                ts[k], cm0, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)         # (PPD2, PPD2)
-            out2m = jnp.where(blockdiag, out2, 0.0).astype(cdt)
-            out_ref[t] = jax.lax.dot_general(
-                out2m, sumq, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)         # (PPD2, D)
+    # ---- phase C: column select + block-diag reduce, CG edges at a
+    # time: one (CG*PPD2, TWB) @ (TWB, CG*PPD2) matmul whose cross-edge
+    # blocks are discarded by the mask (FLOP overshoot on the MXU is far
+    # cheaper than CG-x the op-issue latency) ---------------------------
+    for cg in range(TE // CG):
+        if _os.environ.get("CORR_ABL") in ("no_c", "floor"):
+            out_ref[0, cg * CG * PPD2:(cg + 1) * CG * PPD2] = jnp.zeros(
+                (CG * PPD2, D), jnp.float32)
+            continue
+        lo = cg * CG * PPD2
+        cm0 = (wio == rxe_ref[0, 0:1, lo:lo + CG * PPD2]).astype(cdt)
+        out2 = jax.lax.dot_general(
+            ts[lo:lo + CG * PPD2], cm0, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)     # (CG*PPD2, CG*PPD2)
+        out2m = jnp.where(blockdiag_g, out2, 0.0).astype(cdt)
+        out_ref[0, lo:lo + CG * PPD2] = jax.lax.dot_general(
+            out2m, sumq_g, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)     # (CG*PPD2, D)
 
     if _os.environ.get("CORR_NOSLOW") == "1":
         return
@@ -177,6 +218,7 @@ def _corr_kernel_v5(jjs_ref, tys_ref, txbs_ref, ss_ref, oky_ref,  # prefetch
                                         fcache, sem)
             cpf.start()
             cpf.wait()
+            fid[0] = jjs_ref[sg]
             lo = pl.multiple_of(t * PPD2, PPD2)
             gexp = ge_ref[0, :, pl.ds(lo, PPD2)]
             grepf = jax.lax.dot_general(
@@ -196,7 +238,7 @@ def _corr_kernel_v5(jjs_ref, tys_ref, txbs_ref, ss_ref, oky_ref,  # prefetch
                 Tf, cm0f, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             out2m = jnp.where(blockdiag, out2, 0.0).astype(cdt)
-            out_ref[t] = jax.lax.dot_general(
+            out_ref[0, pl.ds(lo, PPD2)] = jax.lax.dot_general(
                 out2m, sumq, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
@@ -263,9 +305,9 @@ def _plan_corr_order_jnp(jj, NF, E_pad):
 def padded_dims(H, W, radius=3):
     """Padded frame-pyramid dims for the kernel: the frame is zero-padded
     by D each side and rounded to sublane/lane tiles. Returns (Hp, Wpc);
-    the stored array is (NF, 2, C, Hp, Wpc): copy 0 holds the image at
-    [D:D+H, D:D+W], copy 1 is the same shifted left by XSHIFT columns
-    (image cols XSHIFT-D.. at column 0)."""
+    the stored array is (NF, 4, C, Hp, Wpc): copy 0 holds the image at
+    [D:D+H, D:D+W], copies 1-3 are shifted by (0, XSHIFT cols),
+    (YSHIFT rows, 0) and (YSHIFT, XSHIFT) respectively (see pad_fmap)."""
     D = 2 * radius + 2
     Hp = max(-(-(H + 2 * D) // 8) * 8, TH)
     Wpc = max(-(-(W + 2 * D) // 128) * 128, TWB)
@@ -364,25 +406,33 @@ def _corr_pallas_planned(gmap, fpad, coords, ii, jj, order, jj_steps, inv,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),           # frame pyramid
         ],
-        out_specs=pl.BlockSpec((TE, PPD2, D), lambda g, *_: (g, 0, 0),
+        out_specs=pl.BlockSpec((1, TE * PPD2, D), lambda g, *_: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((4, C, Hp, Wpc), fpad.dtype),
-            pltpu.VMEM((SUBTE, C * TH_, PPD2), fpad.dtype),
-            pltpu.VMEM((SUBTE, PPD2, PPD2), fpad.dtype),
+            pltpu.VMEM((C * TH_, TE * PPD2), fpad.dtype),
+            pltpu.VMEM((TE * PPD2, TWB), fpad.dtype),
+            pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
     )
-    vol_s = pl.pallas_call(
-        partial(_corr_kernel_v5, C=C, PP=PP, D=D, Hp=Hp, Wpc=Wpc, TH_=TH_),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((EP, PPD2, D), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=48 * 1024 * 1024),
-    )(jj_steps.astype(jnp.int32), ty_s.astype(jnp.int32),
-      txb_s.astype(jnp.int32), s_s.astype(jnp.int32), oky_s.astype(jnp.int32),
-      ge_s, rxe_s.astype(jnp.int32), rye_s.astype(jnp.int32), fpad)
+    if _os.environ.get("CORR_ABL") == "no_kernel":
+        vol_s = (jnp.zeros((nsteps, TE * PPD2, D), jnp.float32)
+                 + ge_s[0, 0, 0] + ty_s[0] + txb_s[0] + s_s[0] + oky_s[0]
+                 + rxe_s[0, 0, 0] + rye_s[0, 0, 0] + jj_steps[0])
+    else:
+        vol_s = pl.pallas_call(
+            partial(_corr_kernel_v6, C=C, PP=PP, D=D, Hp=Hp, Wpc=Wpc, TH_=TH_),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nsteps, TE * PPD2, D), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+        )(jj_steps.astype(jnp.int32), ty_s.astype(jnp.int32),
+          txb_s.astype(jnp.int32), s_s.astype(jnp.int32),
+          oky_s.astype(jnp.int32),
+          ge_s, rxe_s.astype(jnp.int32), rye_s.astype(jnp.int32), fpad)
 
+    vol_s = vol_s.reshape(EP, PPD2, D)
     vol = jnp.take(vol_s[:, : PP * D], inv, axis=0)         # (E, PP*D, D)
     vol = vol.reshape(E, PP, D, D)                          # (e, p, u, v)
     # 4-tap bilinear blend (correlation_kernel.cu:221-232); vol axes here
@@ -403,7 +453,7 @@ def corr_pallas_padded(gmap, fpad, coords, ii, jj, H, W, radius: int = 3,
                        plan=None):
     """Pallas patch correlation on a PRE-PADDED frame pyramid.
 
-    gmap: (B, K, C, P, P); fpad: (B, NF, 2, C, Hp, Wpc) from pad_fmap
+    gmap: (B, K, C, P, P); fpad: (B, NF, 4, C, Hp, Wpc) from pad_fmap
     (maintained incrementally by the SLAM runtime so the pad + shift
     copies are not rebuilt every call); coords (B, E, 2, P, P);
     H, W: static unpadded frame dims.

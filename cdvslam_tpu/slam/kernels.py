@@ -94,6 +94,7 @@ def update_body(
     res: int = 4,
     HW1=None,                   # static (H, W) of fmap1 when pre-padded
     HW2=None,
+    ba_assembly: str = "scatter",  # steady-state fused path uses 'onehot'
 ):
     """One fully-fused SLAM update. Slices the patch window and per-edge
     state out of the full (donated) buffers, runs
@@ -179,6 +180,7 @@ def update_body(
         poses, patches_win, intr_full[0], target, w[0],
         ii, jj, kk_local, aux.mask, t0,
         N=NW, K=KWIN, iterations=iterations, params=INFERENCE_PARAMS,
+        assembly=ba_assembly,
     )
 
     # motion magnitude for the keyframe test, computed on the POST-BA poses
@@ -211,7 +213,7 @@ def update_body(
 
 update_step = partial(
     jax.jit,
-    static_argnames=("model", "NW", "KWIN", "EPAD", "GROUP_M", "iterations", "is_cdv", "res", "HW1", "HW2"),
+    static_argnames=("model", "NW", "KWIN", "EPAD", "GROUP_M", "iterations", "is_cdv", "res", "HW1", "HW2", "ba_assembly"),
     donate_argnums=(2, 3, 9, 10, 11),
 )(update_body)
 

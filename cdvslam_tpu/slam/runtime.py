@@ -488,6 +488,9 @@ class SLAM:
                 params, image_u8, seed, poses, patches_buf, intr_buf,
                 imap_buf, gmap_buf, f1buf, f2buf, colors_buf, seg_buf,
                 scale_buf, score_buf, n, fac, True, intr_row)
+            # steady-state local BA tolerates the one-hot assembly's f32
+            # reassociation (2.9x faster); init/termination/global solves
+            # go through update_step and stay on 'scatter' (see ba_solve)
             (poses, patches_buf, net_full, target_full, weight_full, _dn,
              mm) = update_body(
                 params, model, poses, patches_buf, intr_buf, imap_buf,
@@ -495,7 +498,8 @@ class SLAM:
                 weight_mul, score_buf, packed, t0, k0, net_valid, ht4, wd4,
                 mm_i, mm_j,
                 NW=NW, KWIN=KWIN, EPAD=EPAD, GROUP_M=GROUP_M,
-                iterations=iterations, is_cdv=is_cdv, HW1=HW1, HW2=HW2)
+                iterations=iterations, is_cdv=is_cdv, HW1=HW1, HW2=HW2,
+                ba_assembly="onehot")
             return (poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf,
                     f2buf, colors_buf, seg_buf, scale_buf, score_buf,
                     net_full, target_full, weight_full, mm, dP)
@@ -1046,17 +1050,42 @@ class SLAM:
             pg.n -= 1
             pg.m -= self.M
 
-    def _shift_buffers(self, k, staging=False):
+    def _apply_pending_shift(self):
+        """Apply a deferred (fused) keyframe device-buffer shift NOW.
+
+        ``_kf_apply(fused_shift=True)`` updates host state immediately but
+        leaves the device poses_/patches_/feature shift to ride the next
+        fused dispatch. Anything that reads device frame rows BEFORE that
+        dispatch (edges_loop computing loop-closure candidate flow) would
+        see un-shifted buffers under post-removal numbering (rows >= k
+        off by one frame), so such consumers call this first."""
+        pend = getattr(self, "_pending_shift", None)
+        if pend is None:
+            return
+        k, n = pend
+        self._pending_shift = None
+        dP = self._shift_buffers(k, n_rows=n, host=False)
+        pd = getattr(self, "_pending_delta", None)
+        if pd is not None:
+            t1d, t0d = pd
+            self.pg.delta[t1d] = (t0d, dP)
+            self._pending_delta = None
+
+    def _shift_buffers(self, k, staging=False, n_rows=None, host=True):
         """Delete frame k: shift frame rows left by one
         (reference slam.py:431-441). When ``staging`` the just-written
         frame at row n is included in the shift. Fixed-span fused kernel
-        in steady state; generic gather fallback otherwise."""
+        in steady state; generic gather fallback otherwise. With
+        ``host=False`` only the device buffers move (used when the host
+        rows were already shifted by the deferred-shift path)."""
         pg = self.pg
-        n, M, N = pg.n + (1 if staging else 0), self.M, self.N
+        M, N = self.M, self.N
+        n = n_rows if n_rows is not None else pg.n + (1 if staging else 0)
         span = n - 1 - k
-        pg.tstamps_[k : n - 1] = pg.tstamps_[k + 1 : n]
-        pg.colors_[k : n - 1] = pg.colors_[k + 1 : n]
-        pg.seg_[k : n - 1] = pg.seg_[k + 1 : n]
+        if host:
+            pg.tstamps_[k : n - 1] = pg.tstamps_[k + 1 : n]
+            pg.colors_[k : n - 1] = pg.colors_[k + 1 : n]
+            pg.seg_[k : n - 1] = pg.seg_[k + 1 : n]
 
         if 1 <= span <= self.cfg.KEYFRAME_INDEX + 2:
             # small-span removals (the steady-state case; the lagged
@@ -1267,6 +1296,9 @@ class SLAM:
         with Timer("edges", enabled=self.enable_timing):
             if cfg.LOOP_CLOSURE:
                 if pg.n - self.last_global_ba >= cfg.GLOBAL_OPT_FREQ:
+                    # edges_loop reads device frame rows; a keyframe shift
+                    # deferred to the fused dispatch must land first
+                    self._apply_pending_shift()
                     from ..loop.proximity import edges_loop
                     lkk, ljj = edges_loop(pg, cfg)
                     if len(lkk) > 0:

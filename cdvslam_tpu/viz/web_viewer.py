@@ -100,7 +100,8 @@ class WebViewer:
     """Interactive viewer: same hook surface as SnapshotViewer, rendered
     live in a browser at http://localhost:<port>/."""
 
-    def __init__(self, slam, port=8642, every=5, max_points=120000):
+    def __init__(self, slam, port=8642, every=5, max_points=120000,
+                 host="127.0.0.1"):
         self.slam = slam
         self.every = every
         self.max_points = max_points
@@ -128,7 +129,9 @@ class WebViewer:
                 self.end_headers()
                 self.wfile.write(body)
 
-        self.server = ThreadingHTTPServer(("0.0.0.0", port), H)
+        # loopback by default (the viewer is unauthenticated); pass
+        # host="0.0.0.0" explicitly to expose it, or use SSH forwarding
+        self.server = ThreadingHTTPServer((host, port), H)
         self.port = self.server.server_address[1]
         self.thread = threading.Thread(target=self.server.serve_forever,
                                        daemon=True)

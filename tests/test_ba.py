@@ -127,3 +127,32 @@ def test_ba_differentiable_training_mode():
     g_t, g_w = jax.grad(loss, argnums=(0, 1))(target, weight)
     assert not np.any(np.isnan(g_t)) and not np.any(np.isnan(g_w))
     assert float(jnp.abs(g_t).sum()) > 0
+
+
+def test_onehot_assembly_matches_scatter():
+    """The one-hot matmul assembly used by the steady-state fused path
+    must agree with segment_sum up to f32 reassociation, including under
+    masked padding edges and fixed poses (t0 > 0)."""
+    gt_poses, patches, intr, target, ii, jj, kk = _synth(seed=6)
+    K = patches.shape[0]
+    rng = np.random.RandomState(7)
+    xi = 0.02 * rng.randn(6, 6).astype(np.float32)
+    xi[0] = 0
+    poses0 = SE3.exp(jnp.asarray(xi)).mul(SE3(gt_poses.data[0])).data
+    pert = patches.at[:, 2].add(
+        jnp.asarray(0.2 * rng.randn(K).astype(np.float32))[:, None, None])
+    pert = pert.at[:, 2].set(jnp.clip(pert[:, 2], 0.05, None))
+    weight = jnp.asarray(rng.uniform(0.2, 1.0, (len(ii), 2)), jnp.float32)
+    mask = jnp.asarray(rng.rand(len(ii)) > 0.1)
+
+    kw = dict(N=5, K=K, iterations=2)
+    args = (poses0, pert, intr, target, weight,
+            ii.astype(jnp.int32), jj.astype(jnp.int32), kk.astype(jnp.int32),
+            mask, 1)
+    p_s, d_s = ba_solve(*args, assembly="scatter", **kw)
+    p_o, d_o = ba_solve(*args, assembly="onehot", **kw)
+    np.testing.assert_allclose(np.asarray(p_o), np.asarray(p_s),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(d_o[:, 2, 1, 1]),
+                               np.asarray(d_s[:, 2, 1, 1]),
+                               rtol=2e-4, atol=2e-4)

@@ -125,6 +125,37 @@ def test_queue_drain_at_terminate_applies_decisions():
     assert np.isfinite(poses).all()
 
 
+def test_apply_pending_shift_matches_immediate_removal():
+    """A keyframe shift deferred to the fused dispatch, when applied
+    eagerly (edges_loop needs coherent device rows), must produce the
+    same device/host state and delta entry as an immediate removal."""
+    slam_a = _mk_slam()
+    slam_b = _mk_slam()
+    pg_a = _seed_frames(slam_a, 10)
+    pg_b = _seed_frames(slam_b, 10)
+
+    k = 5
+    t1 = int(pg_a.tstamps_[k])
+    slam_a._kf_apply(k, defer=False)                   # immediate
+    slam_b._kf_apply(k, defer=False, fused_shift=True) # deferred
+    assert slam_b._pending_shift is not None
+    # device poses are stale under post-removal numbering until applied
+    slam_b._apply_pending_shift()
+    assert slam_b._pending_shift is None
+
+    np.testing.assert_allclose(np.asarray(pg_b.poses_[:9]),
+                               np.asarray(pg_a.poses_[:9]), atol=1e-6)
+    np.testing.assert_array_equal(pg_b.tstamps_[:9], pg_a.tstamps_[:9])
+    assert pg_a.n == pg_b.n == 9
+    assert t1 in pg_b.delta
+    t0_a, dP_a = pg_a.delta[t1]
+    t0_b, dP_b = pg_b.delta[t1]
+    assert t0_a == t0_b
+    np.testing.assert_allclose(np.asarray(dP_b), np.asarray(dP_a), atol=1e-6)
+    # idempotent: a second call is a no-op
+    slam_b._apply_pending_shift()
+
+
 def test_prepare_update_packed_plan_rows():
     """Rows 13-15 of the packed upload must be (order, inv, sub-tile frame
     ids) exactly as plan_corr_order computes them (kernels.update_body

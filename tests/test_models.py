@@ -154,3 +154,36 @@ def test_dino_advance_matches_full_forward():
     # past-depth steps pass through
     t2, _, _ = vit.apply(p, t, 7, method=DinoViT.advance)
     np.testing.assert_allclose(np.asarray(t2), np.asarray(t))
+
+
+def test_softagg_masked_row_does_not_collapse_output():
+    """Softmax stabilization must ignore masked rows: a padded row with a
+    huge logit used to shift the global max until real segments' exp
+    underflowed and the aggregation collapsed toward zero."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cdvslam_tpu.models.blocks import SoftAgg
+
+    rng = np.random.RandomState(0)
+    E, D, S = 8, 16, 3
+    x = jnp.asarray(rng.randn(1, E, D), jnp.float32)
+    ids = jnp.asarray(rng.randint(0, S, E), jnp.int32)
+    mask = jnp.asarray(np.array([True] * (E - 1) + [False]))
+
+    mod = SoftAgg(D)
+    params = mod.init(jax.random.PRNGKey(0), x, ids, S, mask)
+
+    base = mod.apply(params, x, ids, S, mask)
+    # poison the masked row with a giant value; output on valid rows must
+    # be unchanged (the masked row must not shift the softmax max)
+    x_poison = x.at[0, E - 1].set(1e4)
+    got = mod.apply(params, x_poison, ids, S, mask)
+    np.testing.assert_allclose(np.asarray(got[0, : E - 1]),
+                               np.asarray(base[0, : E - 1]), atol=1e-5)
+    assert np.abs(np.asarray(got[0, : E - 1])).max() > 1e-4
+
+    # gradients through the poisoned input stay finite
+    g = jax.grad(lambda p: jnp.sum(mod.apply(p, x_poison, ids, S, mask) ** 2))(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)

@@ -165,3 +165,46 @@ def test_corr_pallas_interpret_matches_xla():
     with mock.patch.object(cp.pl, "pallas_call", interp_call):
         got2 = cp.corr_pallas(gmap, fmap, coords, ii, jj, radius=R, plan=plan)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref), atol=2e-4, rtol=1e-4)
+
+
+def test_corr_pallas_fallback_does_not_poison_frame_cache():
+    """A slow-path edge re-fetches its own frame into the VMEM cache; the
+    next grid step must not skip its fetch based on adjacent jjs entries
+    alone (regression: fast path read the fallback edge's frame)."""
+    from unittest import mock
+    from jax.experimental import pallas as pl
+    import cdvslam_tpu.ops.corr_pallas as cp
+
+    rng = np.random.RandomState(7)
+    K, C, P, NF, H, W, R = 8, 8, 3, 2, 64, 64, 3
+    TE, SUBTE = cp.TE, cp.SUBTE
+    # frame 0: one sub-tile containing a fallback edge; frame 1: a run
+    # that crosses the grid-step boundary (TE edges per step)
+    n0, n1 = SUBTE, TE * 2 - SUBTE
+    E = n0 + n1
+    jj = np.concatenate([np.zeros(n0, np.int64), np.ones(n1, np.int64)])
+    ii = rng.randint(0, K, E)
+    # well-behaved coords for all edges ...
+    base_x = rng.uniform(10, W - 10, (E, 1, 1)) + rng.uniform(-1, 1, (E, P, P))
+    base_y = rng.uniform(10, H - 10, (E, 1, 1)) + rng.uniform(-1, 1, (E, P, P))
+    # ... except edge 0 (frame 0): spread its pixel rows beyond the shared
+    # band so it takes the slow path
+    base_y[0, :, :] = np.linspace(5, H - 5, P * P).reshape(P, P)
+    coords = np.stack([base_x, base_y], axis=1)[None].astype(np.float32)
+
+    gmap = jnp.asarray(rng.randn(1, K, C, P, P), jnp.float32)
+    fmap = jnp.asarray(rng.randn(1, NF, C, H, W), jnp.float32)
+    coords = jnp.asarray(coords)
+    ii = jnp.asarray(ii, jnp.int32)
+    jj = jnp.asarray(jj, jnp.int32)
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*a, **kw):
+        kw["interpret"] = True
+        return orig_call(*a, **kw)
+
+    ref = corr(gmap, fmap, coords, ii, jj, radius=R, chunk=8)
+    with mock.patch.object(cp.pl, "pallas_call", interp_call):
+        got = cp.corr_pallas(gmap, fmap, coords, ii, jj, radius=R)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-4)
