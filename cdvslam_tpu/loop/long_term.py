@@ -82,6 +82,11 @@ class LongTermLoopClosure:
         self.lc_count = 0
         self.frame_of = {}          # retrieval id -> insertion-time n
         self.gray = {}              # retrieval id -> downscaled gray frame
+        # accumulated loop measurements (reference long_term.py:37-38,
+        # 248-257: every PGO run sees ALL prior loop edges, re-measured
+        # from the current -- already corrected -- estimates); keyed by
+        # global frame id so keyframe removal cannot invalidate them
+        self.loop_pairs = []        # [(fid_i, fid_j)]
 
     # -- per-frame hooks ------------------------------------------------
     def __call__(self, image, n):
@@ -163,10 +168,19 @@ class LongTermLoopClosure:
             return None
         poses3 = np.asarray(pg.poses_)[[int(rows_p[-1]), row, int(rows_n[-1])]]
 
+        # initialize structure at the keyframe's MEDIAN disparity
+        # (reference long_term.py:108-109) -- a unit init sits far from
+        # the optimum and the 6-iteration GN collapses noisy points onto
+        # the depth clamp instead of converging
+        M = self.slam.M
+        true_disp = float(np.median(
+            np.asarray(pg.patches_[row * M:(row + 1) * M, 2, 1, 1])))
+        if not np.isfinite(true_disp) or true_disp <= 1e-4:
+            true_disp = 1.0
         patches = np.zeros((K, 3, 1, 1), np.float32)
         patches[:, 0, 0, 0] = centers[:, 0]
         patches[:, 1, 0, 0] = centers[:, 1]
-        patches[:, 2, 0, 0] = 1.0
+        patches[:, 2, 0, 0] = true_disp
 
         tgt_p = ap[:K] / self.slam.RES
         tgt_n = an[:K] / self.slam.RES
@@ -193,7 +207,13 @@ class LongTermLoopClosure:
             jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(kk),
         )
         res = np.linalg.norm(np.asarray(coords[0, :, 0, 0]) - target, axis=1)
-        good = (res[:K] < 2.0) & (res[K:] < 2.0) & (patches_out[:, 2, 0, 0] > 1e-3)
+        # residual gate (long_term.py:131-133): the reference uses a fixed
+        # 2 px max over the track pair; under drifty local geometry every
+        # residual inflates together, so widen to a robust quantile (but
+        # never below the reference's 2 px) and drop clamp-collapsed depths
+        rmax = np.maximum(res[:K], res[K:])
+        thr = max(2.0, 2.5 * float(np.median(rmax)))
+        good = (rmax < thr) & (patches_out[:, 2, 0, 0] > 1e-3)
         if good.sum() < 6:
             self._fail = f"only {int(good.sum())} triangulated points for {fid}"
             return None
@@ -258,11 +278,38 @@ class LongTermLoopClosure:
         ri, rj = int(rows_i[-1]), int(rows_j[-1])
         poses = np.asarray(pg.poses_[: pg.n])
 
+        # accumulate ALL loop measurements (reference long_term.py:248-257):
+        # prior loop pairs enter each new PGO as scale-1 Sim3 constraints
+        # re-measured from the CURRENT (already corrected) estimates, so a
+        # new closure cannot undo old ones
+        dS_rows = [dS]
+        ii_rows = [max(ri, rj)]
+        jj_rows = [min(ri, rj)]
+        tst = pg.tstamps_[: pg.n]
+        pred_inv = se3_to_sim3(np.asarray(se3_inv(jnp.asarray(poses))))
+        for (fi, fj) in self.loop_pairs:
+            rfi = np.nonzero(tst == fi)[0]
+            rfj = np.nonzero(tst == fj)[0]
+            if len(rfi) == 0 or len(rfj) == 0:
+                continue
+            a, bb = int(rfi[-1]), int(rfj[-1])
+            hi, lo = max(a, bb), min(a, bb)
+            # constraint satisfied at the current estimate:
+            # C = T_lo * T_hi^-1 with T = Sim3(inv(pose))
+            C = np.asarray(sim3_mul(jnp.asarray(pred_inv[lo]),
+                                    sim3_inv(jnp.asarray(pred_inv[hi]))))
+            dS_rows.append(C.astype(np.float32))
+            ii_rows.append(hi)
+            jj_rows.append(lo)
+        self.loop_pairs.append((int(i), int(j)))
+        dS_all = np.stack(dS_rows)
+        ii_all = np.asarray(ii_rows)
+        jj_all = np.asarray(jj_rows)
+
         def work():
             try:
                 safe_i, corrected = run_pgo(
-                    poses, dS[None], np.array([max(ri, rj)]),
-                    np.array([min(ri, rj)]), iters=30,
+                    poses, dS_all, ii_all, jj_all, iters=30,
                 )
                 self.result_q.put((safe_i, corrected))
             except Exception as e:  # pragma: no cover
@@ -287,11 +334,31 @@ class LongTermLoopClosure:
         se3_part = corr[:, :7].copy()
         pg.poses_ = pg.poses_.at[:m].set(jnp.asarray(se3_part))
         M = self.slam.M
-        d = pg.patches_[: m * M, 2]
         srep = np.repeat(scales, M).astype(np.float32)
         pg.patches_ = pg.patches_.at[: m * M, 2].multiply(
             jnp.asarray(srep)[:, None, None]
         )
+        # rescale the delta chain (reference long_term.py:176-186 +
+        # lc_callback): removed frames' relative poses hang off a live
+        # keyframe whose local scene scale just changed; walk each chain
+        # to its live root and scale the SE3 translation. `scales` here
+        # is the world->cam Sim3 scale (inverse depths multiply by it),
+        # so translations scale by 1/scales (the reference's s).
+        s_of_t = {}
+        for r in range(n):
+            s_of_t[int(pg.tstamps_[r])] = (
+                float(1.0 / max(scales[r], 1e-12)) if r < m else 1.0)
+        for t, (t0, dP) in list(pg.delta.items()):
+            t_src = t
+            while t_src in pg.delta:
+                t_src = pg.delta[t_src][0]
+            s1 = s_of_t.get(int(t_src), 1.0)
+            if s1 != 1.0:
+                dPn = np.asarray(dP, np.float32).copy()
+                dPn[:3] *= s1
+                pg.delta[t] = (t0, dPn)
+        # re-fix gauge + unit mean disparity (reference lc_callback tail)
+        self.slam.normalize()
         self.lc_count += 1
 
     def terminate(self, n):

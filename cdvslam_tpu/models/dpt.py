@@ -8,18 +8,48 @@ units, and the depth regression tail. NHWC layout.
 """
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=64)
+def _ac_lin_matrix(n_in: int, n_out: int):
+    """1-D linear sampling matrix for torch F.interpolate(mode='bilinear',
+    align_corners=True): src = o * (in-1)/(out-1), clamped borders."""
+    W = np.zeros((n_out, n_in), np.float32)
+    if n_out == 1 or n_in == 1:
+        W[:, 0] = 1.0
+        return W
+    for o in range(n_out):
+        s = o * (n_in - 1) / (n_out - 1)
+        i0 = int(np.floor(s))
+        i0 = min(i0, n_in - 2)
+        f = s - i0
+        W[o, i0] += 1.0 - f
+        W[o, i0 + 1] += f
+    return W
 
 
 def _resize(x, size, align_corners=False):
-    """Bilinear resize matching torch interpolate semantics closely enough
-    for head parity (align_corners handled by jax linear resize)."""
+    """Bilinear resize matching torch F.interpolate semantics: the
+    align_corners=False path is jax.image.resize's half-pixel linear; the
+    align_corners=True path (FeatureFusionBlock / HeadDepth upsamples,
+    depth_head_mm.py:204-215, 44-46) uses corner-aligned sampling
+    matrices applied as two small matmuls (static shapes -> host-built
+    constants)."""
     B, H, W, C = x.shape
-    return jax.image.resize(x, (B, size[0], size[1], C), method="bilinear")
+    if not align_corners:
+        return jax.image.resize(x, (B, size[0], size[1], C), method="bilinear")
+    Wh = jnp.asarray(_ac_lin_matrix(H, size[0]))
+    Ww = jnp.asarray(_ac_lin_matrix(W, size[1]))
+    y = jnp.einsum("oh,bhwc->bowc", Wh, x.astype(jnp.float32))
+    y = jnp.einsum("pw,bowc->bopc", Ww, y)
+    return y.astype(x.dtype)
 
 
 class PreActResidualConvUnit(nn.Module):

@@ -815,11 +815,23 @@ class SLAM:
         )
         target = jnp.asarray(center) + jnp.asarray(delta, jnp.float32)
         weight = jnp.asarray(weight, jnp.float32)
-        poses, patches_win2 = ba_solve(
-            pg.poses_, patches_win, pg.intrinsics_[0], target, weight,
-            ii_p, jj_p, kkl, aux.mask, t0,
-            N=self.NW, K=KWIN, iterations=ba_iters,
-        )
+        if getattr(self, "ba_override", None) is not None:
+            # test hook: swap the BA solver (e.g. the numpy transcription
+            # of the reference CUDA BA) while keeping every other piece of
+            # the runtime -- used to prove drift profiles are windowing
+            # policy, not solver numerics
+            poses, patches_win2 = self.ba_override(
+                pg.poses_, patches_win, pg.intrinsics_[0], target, weight,
+                ii_p, jj_p, kkl, np.asarray(aux.mask), t0,
+                self.NW, ba_iters)
+            poses = jnp.asarray(np.asarray(poses, np.float32))
+            patches_win2 = jnp.asarray(np.asarray(patches_win2, np.float32))
+        else:
+            poses, patches_win2 = ba_solve(
+                pg.poses_, patches_win, pg.intrinsics_[0], target, weight,
+                ii_p, jj_p, kkl, aux.mask, t0,
+                N=self.NW, K=KWIN, iterations=ba_iters,
+            )
         return poses, patches_win2, net, target, weight, None
 
     # ------------------------------------------------------------------

@@ -130,6 +130,64 @@ def import_reference_modules():
     return mods
 
 
+def _make_mmcv_stub():
+    """Minimal mmcv.cnn stand-in for the DPT head import
+    (DINO_modules/hub/dpt/depth_head_mm.py:5): ConvModule with the exact
+    submodule names ('conv', 'activate'), 'auto' bias and order support;
+    Linear = nn.Linear; build_activation_layer for ReLU/GELU."""
+    import torch.nn as nn
+
+    mmcv = types.ModuleType("mmcv")
+    cnn = types.ModuleType("mmcv.cnn")
+
+    def build_activation_layer(cfg):
+        t = cfg["type"]
+        return {"ReLU": nn.ReLU, "GELU": nn.GELU}[t]()
+
+    class ConvModule(nn.Module):
+        def __init__(self, in_channels, out_channels, kernel_size,
+                     stride=1, padding=0, dilation=1, groups=1, bias="auto",
+                     norm_cfg=None, act_cfg=dict(type="ReLU"),
+                     order=("conv", "norm", "act"), **kw):
+            super().__init__()
+            assert norm_cfg is None, "stub supports norm_cfg=None only"
+            if bias == "auto":
+                bias = norm_cfg is None
+            self.order = order
+            self.conv = nn.Conv2d(in_channels, out_channels, kernel_size,
+                                  stride=stride, padding=padding,
+                                  dilation=dilation, groups=groups, bias=bias)
+            self.with_activation = act_cfg is not None
+            if self.with_activation:
+                self.activate = build_activation_layer(act_cfg)
+
+        def forward(self, x):
+            for op in self.order:
+                if op == "conv":
+                    x = self.conv(x)
+                elif op == "act" and self.with_activation:
+                    x = self.activate(x)
+            return x
+
+    cnn.ConvModule = ConvModule
+    cnn.Linear = nn.Linear
+    cnn.build_activation_layer = build_activation_layer
+    mmcv.cnn = cnn
+    sys.modules.setdefault("mmcv", mmcv)
+    sys.modules.setdefault("mmcv.cnn", cnn)
+    return mmcv
+
+
+def import_reference_dpt():
+    """Import the reference DPT depth head with the mmcv stub in place."""
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    _make_mmcv_stub()
+    import importlib
+
+    return importlib.import_module("DINO_modules.hub.dpt.depth_head_mm")
+
+
 def torch_state_dict_to_numpy(module):
     import numpy as np
 

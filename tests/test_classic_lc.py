@@ -76,3 +76,51 @@ def test_classic_lc_fires_and_reduces_drift():
     assert ate_on < 0.8 * ate_off, (
         f"classic LC did not help: ATE on={ate_on:.4f} off={ate_off:.4f} "
         f"(path {path:.3f})")
+
+
+def test_lc_callback_rescales_delta_chain():
+    """Reference long_term.py:176-203: applying a Sim3 PGO correction must
+    also rescale the RELATIVE poses of removed (non-keyframe) frames --
+    each delta chain walks to its live root keyframe and its translation
+    scales with that keyframe's scale correction."""
+    import queue
+
+    from cdvslam_tpu.loop.long_term import LongTermLoopClosure
+
+    cfg = get_cfg()
+    cfg.PATCHES_PER_FRAME = 8
+    cfg.BUFFER_SIZE = 16
+    slam = SLAM(cfg, network="dpv", ht=64, wd=64,
+                update_override=lambda *a: None)
+    pg = slam.pg
+    M = slam.M
+    n = 4
+    pg.n = n
+    pg.tstamps_[:n] = [0, 2, 4, 6]
+    # uniform disparity 0.5 so the post-callback normalize() is a pure
+    # gauge fix (scales 2.0 below bring mean disparity to 1.0)
+    pg.patches_ = pg.patches_.at[: n * M, 2].set(0.5)
+    pg.poses_ = pg.poses_.at[:n].set(
+        jnp.asarray([[0, 0, 0, 0, 0, 0, 1]] * n, jnp.float32))
+    # delta chains: frame 1 hangs off keyframe 0; frame 5 hangs off the
+    # REMOVED frame 3 which hangs off keyframe 2
+    dP = np.array([1.0, 2.0, 3.0, 0, 0, 0, 1], np.float32)
+    pg.delta = {1: (0, dP.copy()), 3: (2, dP.copy()), 5: (3, dP.copy())}
+
+    lc = LongTermLoopClosure(cfg, slam)
+    # corrected Sim3 world->cam poses: identity SE3, scale 2 everywhere
+    corrected = np.zeros((n, 8), np.float32)
+    corrected[:, 6] = 1.0
+    corrected[:, 7] = 2.0
+    lc.result_q.put((n, corrected))
+    lc.lc_callback()
+
+    # scales (world->cam) = 2 -> translations of deltas scale by 1/2
+    for t in (1, 3, 5):
+        t0, d = pg.delta[t]
+        np.testing.assert_allclose(
+            np.asarray(d)[:3], dP[:3] * 0.5, rtol=1e-5,
+            err_msg=f"delta {t} not rescaled")
+        assert np.allclose(np.asarray(d)[3:], dP[3:])
+    # depths were multiplied by the Sim3 scale
+    assert np.allclose(np.asarray(pg.patches_[0, 2, 0, 0]), 1.0)

@@ -264,3 +264,81 @@ def test_dino_block_parity():
     blk = Block(dim, heads)
     out = blk.apply({"params": params["block0"]}, jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
+
+
+def test_xfeat_trunk_parity():
+    """XFeat blocks 1-2 + skip + instance norms (the matching-feature
+    trunk the reference takes from torch.hub 'verlab/accelerated_features'
+    and slices in net_cdv.py:160-201). The torch side transcribes the
+    public XFeat BasicLayer/trunk structure inline (hub is unavailable
+    offline); state_dict names match, so this validates convert_xfeat's
+    layout AND XFeatF's semantics (gray mean, norms, skip add)."""
+
+    class BasicLayer(tnn.Module):
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.layer = tnn.Sequential(
+                tnn.Conv2d(cin, cout, 3, stride=stride, padding=1, bias=False),
+                tnn.BatchNorm2d(cout, affine=False),
+                tnn.ReLU(inplace=True),
+            )
+
+        def forward(self, x):
+            return self.layer(x)
+
+    class XFeatSlice(tnn.Module):
+        """Exactly the kept sub-net: norm, block1, skip1, block2."""
+
+        def __init__(self):
+            super().__init__()
+            self.norm = tnn.InstanceNorm2d(1)
+            self.block1 = tnn.Sequential(
+                BasicLayer(1, 4, 1), BasicLayer(4, 8, 2),
+                BasicLayer(8, 8, 1), BasicLayer(8, 24, 2))
+            self.skip1 = tnn.Sequential(
+                tnn.AvgPool2d(4, stride=4), tnn.Conv2d(1, 24, 1))
+            self.block2 = tnn.Sequential(
+                BasicLayer(24, 24, 1), BasicLayer(24, 24, 1))
+
+    class PatchifySlice(tnn.Module):
+        """get_f (net_cdv.py:190-205) on a (B, 3, H, W) [0,1] batch."""
+
+        def __init__(self):
+            super().__init__()
+            self.xfeat = XFeatSlice()
+            self.norm_f = tnn.InstanceNorm2d(24)
+
+        def forward(self, img):
+            img = img * 2 - 0.5
+            x = img.mean(dim=1, keepdim=True)
+            x = self.xfeat.norm(x)
+            x1 = self.xfeat.block1(x)
+            x2 = self.xfeat.block2(x1 + self.xfeat.skip1(x))
+            return self.norm_f(x2)
+
+    torch.manual_seed(3)
+    mod = PatchifySlice().eval()
+    # non-trivial BN running stats (a fresh BN has mean 0 / var 1)
+    with torch.no_grad():
+        for m in mod.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 2.0)
+
+    rng = np.random.RandomState(11)
+    img = rng.rand(1, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        y_t = mod(torch.from_numpy(img)).numpy()      # (1, 24, 16, 24)
+
+    from cdvslam_tpu.models.convert import convert_xfeat
+    from cdvslam_tpu.models.xfeat import XFeatF
+
+    sd = {"patchify." + k: v.detach().numpy()
+          for k, v in mod.state_dict().items()}
+    params, stats = convert_xfeat(sd)
+    variables = {"params": {"xfeat": params}, "batch_stats": {"xfeat": stats}}
+    y_j = XFeatF().apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)))
+    y_j = np.asarray(y_j).transpose(0, 3, 1, 2)
+
+    assert y_j.shape == y_t.shape, (y_j.shape, y_t.shape)
+    np.testing.assert_allclose(y_j, y_t, rtol=1e-4, atol=1e-4)

@@ -203,3 +203,41 @@ def test_seg_depth_heads_golden(ref, tmp_path):
     yd_j = DepthHeadFlatten().apply(dep_v, jnp.asarray(xd))
     np.testing.assert_allclose(np.asarray(ys_j), ys_t, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(yd_j), yd_t, rtol=1e-4, atol=1e-4)
+
+
+def test_dpt_head_golden(ref, tmp_path):
+    """Dense-depth parity of the full 290-line mmseg DPT head
+    (DINO_modules/hub/dpt/depth_head_mm.py): ReassembleBlocks with
+    'project' readout, per-stage resizes, pre-act fusion blocks with
+    align_corners=True upsamples, HeadDepth tail. VERDICT r2 Next #3."""
+    import torch
+
+    from golden_utils import import_reference_dpt
+
+    dpt_mod = import_reference_dpt()
+    torch.manual_seed(0)
+    head_t = dpt_mod.DPTHead().eval()
+
+    B, C, h, w = 1, 384, 11, 13
+    rng = np.random.RandomState(7)
+    taps_t = []
+    taps_j = []
+    for _ in range(4):
+        x = rng.randn(B, C, h, w).astype(np.float32) * 0.5
+        cls = rng.randn(B, C).astype(np.float32) * 0.5
+        taps_t.append([torch.from_numpy(x), torch.from_numpy(cls)])
+        taps_j.append((jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(cls)))
+
+    with torch.no_grad():
+        depth_t = head_t(taps_t).numpy()          # (B, 1, H', W')
+
+    torch.save(head_t.state_dict(), tmp_path / "dpt.pth")
+    from cdvslam_tpu.models.convert import load_dpt_head
+    from cdvslam_tpu.models.dpt import DPTHead
+
+    variables = load_dpt_head(str(tmp_path / "dpt.pth"))
+    depth_j = DPTHead().apply(variables, taps_j)  # (B, H', W', 1)
+    depth_j = np.asarray(depth_j).transpose(0, 3, 1, 2)
+
+    assert depth_j.shape == depth_t.shape, (depth_j.shape, depth_t.shape)
+    np.testing.assert_allclose(depth_j, depth_t, rtol=1e-4, atol=1e-4)
