@@ -169,7 +169,16 @@ class DinoVisionTransformer(nn.Module):
         block on the previous step's PRE-NORM tokens; steps >= depth pass
         through. Lets a caller amortize the backbone across frames.
         Returns (pre_norm_tokens, output_tokens, cls) where output/cls
-        are (optionally) final-norm'd."""
+        are (optionally) final-norm'd.
+
+        NOTE: the SLAM runtime deliberately does NOT use this. Amortizing
+        the ViT across frames means frame n's context tokens come from an
+        image ~depth frames old, but patch selection (SCORE/seg paths)
+        and the per-patch context gather sample the token map at frame
+        n's own coordinates -- a semantic change with no reference
+        precedent (the reference defines advance() but never calls it
+        anywhere in cdvslam either; its tracking loop always runs
+        _get_intermediate_layers_not_chunked, net_cdv.py:216-224)."""
         if step_i == 0:
             t = self.prepare_tokens(x)
             t = self.blocks_list[0](t)

@@ -45,6 +45,17 @@ this kernel measured as the cost floor:
     kills (rowidx//D == colidx//D forces edge AND patch-pixel match),
     trading a CGx FLOP overshoot (cheap, MXU) for a CGx op reduction.
 
+v7 attacks the remaining data-proportional pipeline floor (~5.5 ms at
+E=12k measured by ablation): the dominant HBM->VMEM stream was the
+tap-expanded ge (C x 128 lanes/edge, each patch-pixel feature repeated
+D=8x) plus two int32 tap vectors. The per-edge payload is now COMPACT --
+PP taps padded to 16 lanes (gec: C x 16/edge, rxyc: 2 x 16/edge) -- and
+the kernel expands it on-chip with ONE shared block-diagonal one-hot
+matmul per XE-edge chunk (Xexp[(e,p),(e',(p',u))] = [e==e'][p==p'],
+built as an XLA constant and resident in VMEM across grid steps; the
++u tap offsets are a broadcast iota added after the expansion). This
+cuts the streamed bytes per edge ~8x for ~0.1 ms of extra MXU work.
+
 Edges are pre-sorted by target frame (plan_corr_order on the host, or
 the jnp fallback here); outputs are written in sorted order and
 un-permuted by one XLA gather.
@@ -71,8 +82,11 @@ TWB = 128                                   # column band width (one lane tile)
 XSHIFT = 64                                 # x copy column shift
 YSHIFT = 4                                  # y copy row shift
 PPD2 = 128                                  # padded per-edge tap columns
+PPC = 16                                    # compact per-edge tap columns (v7)
+XE = 32                                     # edges per expansion chunk (Xexp size)
 CG = int(_os.environ.get("CORR_CG", "4"))   # phase-C cross-edge batch width
 assert TE % SUBTE == 0 and TE % CG == 0, "TE must be divisible by SUBTE and CG"
+assert TE % XE == 0 or XE % TE == 0, "TE and XE must nest"
 
 
 def corr_epad(E, NF):
@@ -82,10 +96,10 @@ def corr_epad(E, NF):
     return -(e // -TE) * TE
 
 
-def _corr_kernel_v6(jjs_ref, tys_ref, txbs_ref, ss_ref, oky_ref,  # prefetch
-                    ge_ref, rxe_ref, rye_ref, frame_hbm, out_ref,
-                    fcache, g2s, ts, fid, sem,
-                    *, C, PP, D, Hp, Wpc, TH_):
+def _corr_kernel_v7(jjs_ref, tys_ref, txbs_ref, ss_ref, oky_ref,  # prefetch
+                    gec_ref, rxyc_ref, xexp_ref, frame_hbm, out_ref,
+                    fcache, g2s, ts, gef, rxy, fid, sem,
+                    *, C, PP, D, Hp, Wpc, TH_, XE_):
     """One grid step = TE edges, sorted by target frame.
 
     frame_hbm: (NF, 4, C, Hp, Wpc) zero-padded frame, (0/4 row, 0/64
@@ -94,14 +108,38 @@ def _corr_kernel_v6(jjs_ref, tys_ref, txbs_ref, ss_ref, oky_ref,  # prefetch
     fcache:  (4, C, Hp, Wpc) VMEM scratch (current frame, all views)
     g2s:     (C*TH_, TE*PPD2) whole-tile G2 scratch (phase A output)
     ts:      (TE*PPD2, TWB) stacked per-edge T rows (phase B output)
-    ge_ref:  (1, C, TE*PPD2) patch features, tap-expanded, 128-col/edge
-    rxe_ref: (1, 1, TE*PPD2) int32 column taps, rel. to txb (-1 pads)
-    rye_ref: (1, 1, TE*PPD2) int32 row taps, relative to ty (-1 pads)
+    gef:     (C, TE*PPD2) tap-expanded patch features (phase 0 output)
+    rxy:     (2, TE*PPD2) int32 expanded column/row taps (phase 0 output)
+    gec_ref: (1, C, TE*PPC) COMPACT patch features, 16 cols/edge
+    rxyc_ref:(1, 2, TE*PPC) compact taps as bf16, row 0 = x rel. txb,
+             row 1 = y rel. ty; -9 sentinel on pad columns (stays
+             negative after the +u offset, so one-hot compares miss)
+    xexp_ref:(XE_*PPC, XE_*PPD2) 0/1 block-diag expansion matrix,
+             constant across grid steps (fetched once)
     oky_ref: (EP,) int32 fast-path flag (row taps fit the shared band)
     out:     (1, TE*PPD2, D) f32 raw tap volumes, (edge, p, u)-major rows
     """
     g = pl.program_id(0)
     cdt = fcache.dtype
+
+    # ---- phase 0: on-chip tap expansion (compact -> 128-col/edge) ----
+    # per XE_-edge chunk: ONE (C, XE_*16) @ (XE_*16, XE_*128) matmul for
+    # the features and one (2, ...) for the tap vectors; +u offsets are a
+    # broadcast iota; everything downstream reads the expanded scratch
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (1, XE_ * PPD2), 1) % PPD2
+    # columns whose (p', u) decodes past PPC rows get no expansion input
+    # (matmul gives 0) -- poison them so the one-hot compares miss
+    upat = jnp.where(cidx // D < PPC, cidx % D, -10000).astype(jnp.float32)
+    for x in range(max(1, (TE * PPC) // (XE_ * PPC))):
+        ci, co = x * XE_ * PPC, x * XE_ * PPD2
+        gef[:, co:co + XE_ * PPD2] = jax.lax.dot_general(
+            gec_ref[0, :, ci:ci + XE_ * PPC], xexp_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(cdt)
+        rxy[:, co:co + XE_ * PPD2] = (jax.lax.dot_general(
+            rxyc_ref[0, :, ci:ci + XE_ * PPC], xexp_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + upat).astype(jnp.int32)
 
     # step-level constants
     yio = jax.lax.broadcasted_iota(jnp.int32, (TH_, 1), 0)
@@ -127,14 +165,14 @@ def _corr_kernel_v6(jjs_ref, tys_ref, txbs_ref, ss_ref, oky_ref,  # prefetch
     sumq_g = ((gpu % D) == vio).astype(cdt)                 # (CG*PPD2, D)
 
     # ---- phase A: build G2 for the WHOLE tile in one 4-op sequence ----
-    # (ge/rye columns are contiguous across edges, so nothing is per-edge)
+    # (gef/rxy columns are contiguous across edges, so nothing is per-edge)
     if _os.environ.get("CORR_ABL") in ("no_a", "floor"):
         g2s[...] = jnp.zeros((C * TH_, TE * PPD2), cdt)
     else:
         grep = jax.lax.dot_general(
-            ohc, ge_ref[0], (((1,), (0,)), ((), ())),
+            ohc, gef[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(cdt)     # (C*TH_, TE*PPD2)
-        ysel = (yio == rye_ref[0, 0:1, :]).astype(cdt)          # (TH_, TE*PPD2)
+        ysel = (yio == rxy[1:2, :]).astype(cdt)                 # (TH_, TE*PPD2)
         yex = jax.lax.dot_general(
             ohy, ysel, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(cdt)
@@ -182,17 +220,18 @@ def _corr_kernel_v6(jjs_ref, tys_ref, txbs_ref, ss_ref, oky_ref,  # prefetch
     for cg in range(TE // CG):
         if _os.environ.get("CORR_ABL") in ("no_c", "floor"):
             out_ref[0, cg * CG * PPD2:(cg + 1) * CG * PPD2] = jnp.zeros(
-                (CG * PPD2, D), jnp.float32)
+                (CG * PPD2, D), out_ref.dtype)
             continue
         lo = cg * CG * PPD2
-        cm0 = (wio == rxe_ref[0, 0:1, lo:lo + CG * PPD2]).astype(cdt)
+        cm0 = (wio == rxy[0:1, lo:lo + CG * PPD2]).astype(cdt)
         out2 = jax.lax.dot_general(
             ts[lo:lo + CG * PPD2], cm0, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)     # (CG*PPD2, CG*PPD2)
         out2m = jnp.where(blockdiag_g, out2, 0.0).astype(cdt)
         out_ref[0, lo:lo + CG * PPD2] = jax.lax.dot_general(
             out2m, sumq_g, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)     # (CG*PPD2, D)
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)                     # (CG*PPD2, D)
 
     if _os.environ.get("CORR_NOSLOW") == "1":
         return
@@ -220,13 +259,13 @@ def _corr_kernel_v6(jjs_ref, tys_ref, txbs_ref, ss_ref, oky_ref,  # prefetch
             cpf.wait()
             fid[0] = jjs_ref[sg]
             lo = pl.multiple_of(t * PPD2, PPD2)
-            gexp = ge_ref[0, :, pl.ds(lo, PPD2)]
+            gexp = gef[:, pl.ds(lo, PPD2)]
             grepf = jax.lax.dot_general(
                 ohcH, gexp, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(cdt)
-            tapy = (rye_ref[0, 0:1, pl.ds(lo, PPD2)] + tys_ref[e]
+            tapy = (rxy[1:2, pl.ds(lo, PPD2)] + tys_ref[e]
                     + YSHIFT * (ss_ref[e] // 2))
-            tapx = (rxe_ref[0, 0:1, pl.ds(lo, PPD2)] + txbs_ref[e]
+            tapx = (rxy[0:1, pl.ds(lo, PPD2)] + txbs_ref[e]
                     + XSHIFT * (ss_ref[e] % 2))
             g2f = jnp.where(yofH == tapy, grepf, jnp.zeros((), cdt))
             full2d = fcache[0].reshape(C * Hp, Wpc)
@@ -240,7 +279,7 @@ def _corr_kernel_v6(jjs_ref, tys_ref, txbs_ref, ss_ref, oky_ref,  # prefetch
             out2m = jnp.where(blockdiag, out2, 0.0).astype(cdt)
             out_ref[0, pl.ds(lo, PPD2)] = jax.lax.dot_general(
                 out2m, sumq, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
         return carry
 
@@ -366,18 +405,15 @@ def _corr_pallas_planned(gmap, fpad, coords, ii, jj, order, jj_steps, inv,
     rx = ix0 - a64[:, None]
     oky = (jnp.all((ry >= 0) & (ry <= TH_ - D), axis=1)
            & jnp.all((rx >= 0) & (rx <= TWB - D), axis=1)).astype(jnp.int32)
-    # tap vectors, expanded to (p, u) columns and padded to PPD2 with -1
-    # (the one-hot compares match nothing on pad columns)
-    dtap = jnp.arange(D, dtype=jnp.int32)
-    rxe = (rx[:, :, None] + dtap).reshape(E, PP * D)
-    rye = (ry[:, :, None] + dtap).reshape(E, PP * D)
-    padc = jnp.full((E, PPD2 - PP * D), -1, jnp.int32)
-    rxe = jnp.concatenate([rxe, padc], axis=1)              # (E, PPD2)
-    rye = jnp.concatenate([rye, padc], axis=1)
+    # COMPACT tap vectors (v7): PP columns padded to PPC with the -9
+    # sentinel (still negative after the kernel's +u offset, so the
+    # one-hot compares match nothing on pad columns); exact in bf16
+    padc = jnp.full((E, PPC - PP), -9, jnp.int32)
+    rxc = jnp.concatenate([rx, padc], axis=1)               # (E, PPC)
+    ryc = jnp.concatenate([ry, padc], axis=1)
 
     ge = jnp.take(gmap, ii, axis=0, mode="clip")            # (E, C, PP)
-    ge = jnp.repeat(ge, D, axis=2)                          # (E, C, PP*D)
-    ge = jnp.pad(ge, ((0, 0), (0, 0), (0, PPD2 - PP * D)))
+    ge = jnp.pad(ge, ((0, 0), (0, 0), (0, PPC - PP)))       # (E, C, PPC)
 
     def reorder(a, fill=0):
         a_ext = jnp.concatenate(
@@ -385,24 +421,33 @@ def _corr_pallas_planned(gmap, fpad, coords, ii, jj, order, jj_steps, inv,
         return jnp.take(a_ext, order, axis=0, mode="clip")
 
     nsteps = EP // TE
-    ge_s = reorder(ge).reshape(nsteps, TE, C, PPD2)
-    ge_s = ge_s.transpose(0, 2, 1, 3).reshape(nsteps, C, TE * PPD2)
-    rxe_s = reorder(rxe, fill=-1).reshape(nsteps, 1, TE * PPD2)
-    rye_s = reorder(rye, fill=-1).reshape(nsteps, 1, TE * PPD2)
+    gec_s = reorder(ge).reshape(nsteps, TE, C, PPC)
+    gec_s = gec_s.transpose(0, 2, 1, 3).reshape(nsteps, C, TE * PPC)
+    rxy_c = jnp.stack([rxc, ryc], axis=1).astype(gmap.dtype)  # (E, 2, PPC)
+    rxyc_s = reorder(rxy_c, fill=-9).reshape(nsteps, TE, 2, PPC)
+    rxyc_s = rxyc_s.transpose(0, 2, 1, 3).reshape(nsteps, 2, TE * PPC)
     ty_s = reorder(ty)
     txb_s = reorder(txb)
     s_s = reorder(s)
     oky_s = reorder(oky, fill=1)
 
+    # block-diagonal expansion matrix (constant; fetched into VMEM once):
+    # Xexp[(e, p), (e', (p', u))] = [e == e'] * [p == p']
+    XE_ = min(XE, TE)
+    rio = jnp.arange(XE_ * PPC)[:, None]
+    cio_x = jnp.arange(XE_ * PPD2)[None, :]
+    xexp = ((rio // PPC == cio_x // PPD2)
+            & (rio % PPC == (cio_x % PPD2) // D)).astype(gmap.dtype)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((1, C, TE * PPD2), lambda g, *_: (g, 0, 0),
+            pl.BlockSpec((1, C, TE * PPC), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TE * PPD2), lambda g, *_: (g, 0, 0),
+            pl.BlockSpec((1, 2, TE * PPC), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TE * PPD2), lambda g, *_: (g, 0, 0),
+            pl.BlockSpec((XE_ * PPC, XE_ * PPD2), lambda g, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),           # frame pyramid
         ],
@@ -412,25 +457,30 @@ def _corr_pallas_planned(gmap, fpad, coords, ii, jj, order, jj_steps, inv,
             pltpu.VMEM((4, C, Hp, Wpc), fpad.dtype),
             pltpu.VMEM((C * TH_, TE * PPD2), fpad.dtype),
             pltpu.VMEM((TE * PPD2, TWB), fpad.dtype),
+            pltpu.VMEM((C, TE * PPD2), fpad.dtype),
+            pltpu.VMEM((2, TE * PPD2), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
     )
+    odt = gmap.dtype
     if _os.environ.get("CORR_ABL") == "no_kernel":
-        vol_s = (jnp.zeros((nsteps, TE * PPD2, D), jnp.float32)
-                 + ge_s[0, 0, 0] + ty_s[0] + txb_s[0] + s_s[0] + oky_s[0]
-                 + rxe_s[0, 0, 0] + rye_s[0, 0, 0] + jj_steps[0])
+        vol_s = (jnp.zeros((nsteps, TE * PPD2, D), odt)
+                 + gec_s[0, 0, 0].astype(jnp.float32)
+                 + ty_s[0] + txb_s[0] + s_s[0] + oky_s[0]
+                 + rxyc_s[0, 0, 0].astype(jnp.float32) + jj_steps[0])
     else:
         vol_s = pl.pallas_call(
-            partial(_corr_kernel_v6, C=C, PP=PP, D=D, Hp=Hp, Wpc=Wpc, TH_=TH_),
+            partial(_corr_kernel_v7, C=C, PP=PP, D=D, Hp=Hp, Wpc=Wpc,
+                    TH_=TH_, XE_=XE_),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((nsteps, TE * PPD2, D), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((nsteps, TE * PPD2, D), odt),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
         )(jj_steps.astype(jnp.int32), ty_s.astype(jnp.int32),
           txb_s.astype(jnp.int32), s_s.astype(jnp.int32),
           oky_s.astype(jnp.int32),
-          ge_s, rxe_s.astype(jnp.int32), rye_s.astype(jnp.int32), fpad)
+          gec_s, rxyc_s, xexp, fpad)
 
     vol_s = vol_s.reshape(EP, PPD2, D)
     vol = jnp.take(vol_s[:, : PP * D], inv, axis=0)         # (E, PP*D, D)

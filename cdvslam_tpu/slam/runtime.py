@@ -96,6 +96,7 @@ class SLAM:
         self.tlist = []
         self.traj = {}
         self._ones_cache = {}
+        self._prep_cache = {}
         self._intr_cache = {}
         self.terminating = False
         self.ran_global_ba = np.zeros(100000, dtype=bool)
@@ -644,7 +645,14 @@ class SLAM:
     def _prepare_update(self, ii, jj, kk, E_pad):
         """Host-side index prep: everything packs into ONE (12, E_pad)
         int32 upload (each separate host->device transfer costs a
-        transport round trip)."""
+        transport round trip).
+
+        Steady-state frames have IDENTICAL relative edge structure (the
+        forward/backward edge pattern just slides by one frame), and the
+        driving host has a single CPU core -- so the sort/unique-heavy
+        parts (neighbors, groups, perm, corr order) are cached keyed by
+        the shift-invariant relative index arrays, and only the
+        absolute/modular rows are rebuilt per frame."""
         pg = self.pg
         M = self.M
         k0 = int(kk.min() // M) * M if len(kk) else 0
@@ -658,6 +666,34 @@ class SLAM:
         def padi(a, fill=0):
             a = np.asarray(a, np.int64)
             return np.concatenate([a, np.full(pad, fill, np.int64)]) if pad else a
+
+        key = None
+        if E:
+            rel = np.stack([np.asarray(ii) - int(ii[0]),
+                            np.asarray(jj) - int(jj[0]),
+                            np.asarray(kk) - int(kk[0])])
+            key = (E_pad, KWIN, int(kk.min()) - k0, rel.tobytes())
+        cached = self._prep_cache.get("key") == key if key is not None else False
+        if cached and getattr(pg, "_pending_gather", None) is None:
+            packed = self._prep_cache["packed"].copy()
+            EP2 = packed.shape[1]
+            # variant rows: absolute frame/patch ids and their mod-wraps
+            packed[0, :E_pad] = padi(ii)
+            packed[1, :E_pad] = padi(jj)
+            packed[3, :E_pad] = padi(kk % (self.pmem * M))
+            jjm_pad = padi(np.asarray(jj, np.int64) % self.mem)
+            packed[4, :E_pad] = jjm_pad
+            # per-sub-tile corr frame ids from the cached order
+            from ..ops.corr_pallas import SUBTE
+            order = packed[13]
+            jjm_ext = np.concatenate([jjm_pad, [-1]])
+            vals = jjm_ext[np.minimum(order, E_pad)]
+            packed[15, : EP2 // SUBTE] = np.maximum(
+                vals.reshape(-1, SUBTE).max(1), 0)
+            packed[15, EP2 // SUBTE:] = 0
+            assert packed.max() < 32767 and packed.min() >= -32768
+            return k0, KWIN, jax.device_put(
+                packed.astype(np.int16).reshape(-1))
 
         aux = build_update_aux(
             ii, jj, kk, k0, KWIN,
@@ -703,6 +739,8 @@ class SLAM:
         # FLAT int16 upload: the remote transport pays a large layout /
         # size penalty on multi-dim payloads; all packed values fit i16
         assert packed.max() < 32767 and packed.min() >= -32768
+        if key is not None and pend is None:
+            self._prep_cache = {"key": key, "packed": packed}
         # device_put keeps the host->device copy asynchronous so it
         # overlaps the previous frame's device work
         return k0, KWIN, jax.device_put(packed.astype(np.int16).reshape(-1))

@@ -70,3 +70,31 @@ def test_dataset_sampling_and_batches(scene_tree):
         assert batch["disps"].shape == (2, 5, 12, 16)
         assert batch["poses"].shape == (2, 5, 7)
         assert batch["intrinsics"].shape == (2, 4)
+
+
+def test_frame_format_readers_roundtrip(tmp_path):
+    """formats.py: .flo write/read roundtrip, PFM both endiannesses and
+    bottom-up row order, extension dispatch (reference frame_utils.py)."""
+    import numpy as np
+
+    from cdvslam_tpu.data.formats import (
+        read_flow, read_gen, read_pfm, write_flow,
+    )
+
+    rng = np.random.RandomState(0)
+    flow = rng.randn(12, 17, 2).astype(np.float32)
+    p = tmp_path / "a.flo"
+    write_flow(str(p), flow)
+    back = read_flow(str(p))
+    np.testing.assert_array_equal(back, flow)
+    np.testing.assert_array_equal(read_gen(str(p)), flow)
+
+    # PFM little-endian grayscale, bottom-up
+    data = rng.rand(9, 7).astype(np.float32)
+    pf = tmp_path / "d.pfm"
+    with open(pf, "wb") as f:
+        f.write(b"Pf\n")
+        f.write(b"7 9\n")
+        f.write(b"-1.0\n")
+        np.flipud(data).astype("<f").tofile(f)
+    np.testing.assert_allclose(read_pfm(str(pf)), data, rtol=1e-6)

@@ -57,6 +57,17 @@ def main():
     fn = captured["inner"]
     print("static kw:", {k: v for k, v in kw.items()}, file=sys.stderr)
 
+    # the captured args are from the LAST warmup dispatch, whose donated
+    # buffers were consumed by that dispatch -- refresh every donated slot
+    # from the live post-warmup state before re-dispatching
+    pg = slam.pg
+    live = [pg.poses_, pg.patches_, pg.intrinsics_, pg.imap_, pg.gmap_,
+            pg.fmap1_, pg.fmap2_, pg.colors_dev, pg.seg_dev, pg.scale_,
+            pg.score_dev]
+    for slot, val in zip(range(3, 14), live):
+        args[slot] = val
+    args[17], args[18], args[19] = pg.net, pg.target, pg.weight
+
     # arg positions (see runtime._fused_frame_update):
     # 0 params, 1 image, 2 seed, 3 poses, 4 patches, 5 intr, 6 imap,
     # 7 gmap, 8 f1, 9 f2, 10 colors, 11 seg, 12 scale, 13 score, 14 n,
