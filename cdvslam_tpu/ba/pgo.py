@@ -96,12 +96,24 @@ def perform_updates(input_poses, dSloop, ii_loop, jj_loop, iters=30,
     """LM loop (reference optim_utils.py:212-244). Host-side control flow
     (adaptive lambda); the heavy step is jitted.
 
-    input_poses: (n, 7) SE3 world->cam. dSloop: (L, 8) Sim3 measurements.
-    Returns (n, 8) Sim3: corrected poses (world->cam convention as
-    Exp(Ginv)^-1).
+    input_poses: (n, 7) SE3 world->cam (the patch-graph convention).
+    dSloop: (L, 8) Sim3 loop measurements mapping points in camera
+    ii_loop's frame to camera jj_loop's frame (the RANSAC-Umeyama output,
+    reference long_term.py:243-249).
+
+    FRAME CONVENTION (reference optim_utils.py:165-180): the optimized
+    state Ginv is the log of the WORLD->CAM Sim3 (the reference receives
+    cam->world `pred_poses` and immediately inverts). The loop residual
+    Log(C Exp(g_i) Exp(g_j)^-1) then vanishes when C = G_j G_i^-1 with
+    G = world->cam -- which IS the physical cam_i->cam_j measurement.
+    Parameterizing cam->world instead (an earlier bug) demands the
+    CONJUGATE G_j^-1 G_i, silently applying the measured correction in
+    the wrong frame (rotated by the absolute pose).
+
+    Returns (n, 8) world->cam Sim3 corrected poses.
     """
     n = input_poses.shape[0]
-    pred_inv = se3_to_sim3(np.asarray(se3_inv(jnp.asarray(input_poses))))
+    pred_inv = se3_to_sim3(np.asarray(input_poses))        # world->cam
     Ginv = np.asarray(sim3_log(jnp.asarray(pred_inv)))
 
     kk = np.arange(1, n)
@@ -129,19 +141,24 @@ def perform_updates(input_poses, dSloop, ii_loop, jj_loop, iters=30,
         if hist[-1] < 1e-5 and itr >= 4 and (hist[-5] / max(hist[-1], 1e-30)) < 1.5:
             break
 
-    return np.asarray(sim3_inv(sim3_exp(Ginv)))
+    return np.asarray(sim3_exp(Ginv))
 
 
 def run_pgo(pred_poses, loop_poses, loop_ii, loop_jj, iters=30):
     """Full PGO call incl. re-anchoring (reference optim_utils.py:203-210).
 
-    Returns (safe_i, corrected (safe_i, 8) Sim3 poses).
+    pred_poses: (n, 7) SE3 world->cam. Returns (safe_i, corrected
+    (safe_i, 8) world->cam Sim3 poses). The anchor keeps pose safe_i at
+    its pre-correction value; in the world->cam frame the gauge transform
+    acts on the world side, i.e. by RIGHT multiplication (equivalent to
+    the reference's left-anchoring of the cam->world estimates).
     """
     final = perform_updates(pred_poses, loop_poses, loop_ii, loop_jj, iters)
     safe_i = int(np.asarray(loop_ii).max()) + 1
     aa = se3_to_sim3(np.asarray(pred_poses))
+    ai = min(safe_i, len(aa) - 1)   # anchor row (loop at the last pose)
     anchor = np.asarray(
-        sim3_mul(jnp.asarray(aa[safe_i]), sim3_inv(jnp.asarray(final[safe_i])))
+        sim3_mul(sim3_inv(jnp.asarray(final[ai])), jnp.asarray(aa[ai]))
     )
-    out = np.asarray(sim3_mul(jnp.asarray(anchor)[None], jnp.asarray(final)))
+    out = np.asarray(sim3_mul(jnp.asarray(final), jnp.asarray(anchor)[None]))
     return safe_i, out[:safe_i]

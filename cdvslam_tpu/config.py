@@ -65,6 +65,10 @@ _C = CfgNode(
     MAX_EDGE_AGE=1000,
     GLOBAL_OPT_FREQ=15,
     CLASSIC_LOOP_CLOSURE=False,
+    # run the Sim3 PGO inline instead of on a worker thread: deterministic
+    # application frame (tests / single-core hosts); the reference always
+    # uses an async process pool (long_term.py:29-31)
+    CLASSIC_LOOP_SYNC=False,
     LOOP_RETR_THRESH=0.04,
     LOOP_RETR_RADIUS=50,
     SEG_HEAD="",

@@ -114,6 +114,14 @@ class LongTermLoopClosure:
         if hit is None:
             return
         i, j = hit
+        # NMS around already-CLOSED loops (reference retrieval_dbow.py:
+        # 14,74-107, NMS=50): without it every frame of a revisit re-fires
+        # a near-duplicate closure whose repeated Sim3 applications only
+        # churn the trajectory
+        nms = self.cfg.get("LOOP_CLOSE_NMS", 50)
+        for (a, b) in self.loop_pairs:
+            if (i - a) ** 2 + (j - b) ** 2 < nms ** 2:
+                return
         if self.worker is not None and self.worker.is_alive():
             return
         self.close_loop(i, j)
@@ -168,19 +176,26 @@ class LongTermLoopClosure:
             return None
         poses3 = np.asarray(pg.poses_)[[int(rows_p[-1]), row, int(rows_n[-1])]]
 
-        # initialize structure at the keyframe's MEDIAN disparity
-        # (reference long_term.py:108-109) -- a unit init sits far from
-        # the optimum and the 6-iteration GN collapses noisy points onto
-        # the depth clamp instead of converging
+        # The reference runs this mini problem in a scene normalize()d to
+        # mean disparity 1 (patchgraph.py:99-104), where its absolute
+        # constants -- the 1e-4 depth clamp, the d>20 reset, the z<20
+        # point filter, the GN damping -- have their intended meaning.
+        # Our monocular gauge floats freely (drift can move it orders of
+        # magnitude), so NORMALIZE the triplet problem locally: rescale
+        # the scene so the keyframe's median disparity
+        # (long_term.py:108-109) is 1, init structure at 1, and scale the
+        # triangulated points back to world units afterwards.
         M = self.slam.M
         true_disp = float(np.median(
             np.asarray(pg.patches_[row * M:(row + 1) * M, 2, 1, 1])))
-        if not np.isfinite(true_disp) or true_disp <= 1e-4:
+        if not np.isfinite(true_disp) or true_disp <= 1e-6:
             true_disp = 1.0
+        poses3 = poses3.copy()
+        poses3[:, :3] *= true_disp            # scene scale sigma = true_disp
         patches = np.zeros((K, 3, 1, 1), np.float32)
         patches[:, 0, 0, 0] = centers[:, 0]
         patches[:, 1, 0, 0] = centers[:, 1]
-        patches[:, 2, 0, 0] = true_disp
+        patches[:, 2, 0, 0] = 1.0
 
         tgt_p = ap[:K] / self.slam.RES
         tgt_n = an[:K] / self.slam.RES
@@ -213,7 +228,10 @@ class LongTermLoopClosure:
         # never below the reference's 2 px) and drop clamp-collapsed depths
         rmax = np.maximum(res[:K], res[K:])
         thr = max(2.0, 2.5 * float(np.median(rmax)))
-        good = (rmax < thr) & (patches_out[:, 2, 0, 0] > 1e-3)
+        # in normalized units this is EXACTLY the reference's z < 20
+        # point filter (long_term.py:219) plus a guard just off the BA's
+        # 1e-4 depth clamp (collapse marker)
+        good = (rmax < thr) & (patches_out[:, 2, 0, 0] > max(1.02e-4, 1 / 20.0))
         if good.sum() < 6:
             self._fail = f"only {int(good.sum())} triangulated points for {fid}"
             return None
@@ -222,8 +240,10 @@ class LongTermLoopClosure:
             iproj(jnp.asarray(patches_out)[None],
                   jnp.broadcast_to(pg.intrinsics_[0], (1, K, 4)))
         )[0, :, 0, 0]                                  # (K, 4) homogeneous
-        Xc = X[:, :3] / np.clip(X[:, 3:], 1e-6, None)  # camera-frame points
-        Ginv = np.asarray(se3_inv(jnp.asarray(poses3[1])))
+        Xc = X[:, :3] / np.clip(X[:, 3:], 1e-6, None)  # normalized units
+        Xc = Xc / true_disp                            # back to world units
+        Ginv = np.asarray(se3_inv(jnp.asarray(
+            np.asarray(pg.poses_)[row])))              # original-scale pose
         Xw = np.asarray(SE3(jnp.asarray(Ginv)[None]).act(jnp.asarray(Xc[None])))[0]
         return centers, Xw, Xc, good
 
@@ -260,7 +280,16 @@ class LongTermLoopClosure:
         Pi = Xi_c[ai[sel]]
         Pj = Xj_c[bj[sel]]
 
-        fit = ransac_umeyama(Pi, Pj, thresh=0.1)
+        # scale-invariant inlier threshold: the reference's 0.1 world
+        # units (400 iterations, long_term.py:243) assume a normalize()d
+        # scene -- mean disparity 1, point norms O(1). Ours floats with
+        # the monocular gauge, so when the TARGET (Pj) cloud -- whose
+        # units the residual is measured in -- has drifted large, scale
+        # the threshold with its typical point norm; never tighten below
+        # the reference's 0.1.
+        s_pts = float(np.median(np.linalg.norm(Pj, axis=1)))
+        fit = ransac_umeyama(Pi, Pj, iters=400,
+                             thresh=0.1 * max(s_pts / 3.0, 1.0))
         if fit is None:
             return
         R, t, s, ninl = fit
@@ -286,7 +315,7 @@ class LongTermLoopClosure:
         ii_rows = [max(ri, rj)]
         jj_rows = [min(ri, rj)]
         tst = pg.tstamps_[: pg.n]
-        pred_inv = se3_to_sim3(np.asarray(se3_inv(jnp.asarray(poses))))
+        pred = se3_to_sim3(poses)               # world->cam Sim3
         for (fi, fj) in self.loop_pairs:
             rfi = np.nonzero(tst == fi)[0]
             rfj = np.nonzero(tst == fj)[0]
@@ -295,9 +324,10 @@ class LongTermLoopClosure:
             a, bb = int(rfi[-1]), int(rfj[-1])
             hi, lo = max(a, bb), min(a, bb)
             # constraint satisfied at the current estimate:
-            # C = T_lo * T_hi^-1 with T = Sim3(inv(pose))
-            C = np.asarray(sim3_mul(jnp.asarray(pred_inv[lo]),
-                                    sim3_inv(jnp.asarray(pred_inv[hi]))))
+            # C = G_lo * G_hi^-1 with G = world->cam (the PGO's loop-edge
+            # convention, see ba/pgo.py perform_updates)
+            C = np.asarray(sim3_mul(jnp.asarray(pred[lo]),
+                                    sim3_inv(jnp.asarray(pred[hi]))))
             dS_rows.append(C.astype(np.float32))
             ii_rows.append(hi)
             jj_rows.append(lo)
@@ -315,15 +345,23 @@ class LongTermLoopClosure:
             except Exception as e:  # pragma: no cover
                 print("PGO failed:", e)
 
-        self.worker = threading.Thread(target=work, daemon=True)
-        self.worker.start()
+        if self.cfg.get("CLASSIC_LOOP_SYNC", False):
+            work()
+        else:
+            self.worker = threading.Thread(target=work, daemon=True)
+            self.worker.start()
 
     def lc_callback(self):
-        """Apply a finished PGO result (long_term.py:189-203)."""
-        try:
-            safe_i, corrected = self.result_q.get_nowait()
-        except queue.Empty:
-            return
+        """Apply finished PGO results (long_term.py:189-203); drains the
+        queue so a result is never dropped between polls."""
+        while True:
+            try:
+                safe_i, corrected = self.result_q.get_nowait()
+            except queue.Empty:
+                return
+            self._apply_correction(safe_i, corrected)
+
+    def _apply_correction(self, safe_i, corrected):
         pg = self.slam.pg
         n = pg.n
         m = min(safe_i, n)

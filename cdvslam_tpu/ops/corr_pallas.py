@@ -117,7 +117,8 @@ def _corr_kernel_v7(jjs_ref, tys_ref, txbs_ref, ss_ref, oky_ref,  # prefetch
     xexp_ref:(XE_*PPC, XE_*PPD2) 0/1 block-diag expansion matrix,
              constant across grid steps (fetched once)
     oky_ref: (EP,) int32 fast-path flag (row taps fit the shared band)
-    out:     (1, TE*PPD2, D) f32 raw tap volumes, (edge, p, u)-major rows
+    out:     (1, TE*PPD2, D) raw tap volumes in the compute dtype,
+             (edge, p, u)-major rows
     """
     g = pl.program_id(0)
     cdt = fcache.dtype

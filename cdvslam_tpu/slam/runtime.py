@@ -672,12 +672,16 @@ class SLAM:
             rel = np.stack([np.asarray(ii) - int(ii[0]),
                             np.asarray(jj) - int(jj[0]),
                             np.asarray(kk) - int(kk[0])])
-            key = (E_pad, KWIN, int(kk.min()) - k0, rel.tobytes())
-        cached = self._prep_cache.get("key") == key if key is not None else False
-        if cached and getattr(pg, "_pending_gather", None) is None:
-            packed = self._prep_cache["packed"].copy()
-            EP2 = packed.shape[1]
-            # variant rows: absolute frame/patch ids and their mod-wraps
+            # jj[0] % mem pins the ring-buffer wrap phase: the cached corr
+            # plan (rows 13/14) sorts by jj % mem, which is NOT invariant
+            # under a uniform frame shift -- the cache keeps one entry per
+            # phase (the steady state cycles through all `mem` phases)
+            key = (E_pad, KWIN, int(kk.min()) - k0, int(jj[0]) % self.mem,
+                   rel.tobytes())
+        cached = self._prep_cache.get(key) if key is not None else None
+        if cached is not None and getattr(pg, "_pending_gather", None) is None:
+            packed = cached.copy()                  # int16; variant rows
+            EP2 = packed.shape[1]                   # are bounded << 2^15
             packed[0, :E_pad] = padi(ii)
             packed[1, :E_pad] = padi(jj)
             packed[3, :E_pad] = padi(kk % (self.pmem * M))
@@ -685,15 +689,13 @@ class SLAM:
             packed[4, :E_pad] = jjm_pad
             # per-sub-tile corr frame ids from the cached order
             from ..ops.corr_pallas import SUBTE
-            order = packed[13]
+            order = packed[13].astype(np.int64)
             jjm_ext = np.concatenate([jjm_pad, [-1]])
             vals = jjm_ext[np.minimum(order, E_pad)]
             packed[15, : EP2 // SUBTE] = np.maximum(
                 vals.reshape(-1, SUBTE).max(1), 0)
             packed[15, EP2 // SUBTE:] = 0
-            assert packed.max() < 32767 and packed.min() >= -32768
-            return k0, KWIN, jax.device_put(
-                packed.astype(np.int16).reshape(-1))
+            return k0, KWIN, jax.device_put(packed.reshape(-1))
 
         aux = build_update_aux(
             ii, jj, kk, k0, KWIN,
@@ -740,7 +742,9 @@ class SLAM:
         # size penalty on multi-dim payloads; all packed values fit i16
         assert packed.max() < 32767 and packed.min() >= -32768
         if key is not None and pend is None:
-            self._prep_cache = {"key": key, "packed": packed}
+            if len(self._prep_cache) > 4 * self.mem:
+                self._prep_cache.pop(next(iter(self._prep_cache)))
+            self._prep_cache[key] = packed.astype(np.int16)
         # device_put keeps the host->device copy asynchronous so it
         # overlaps the previous frame's device work
         return k0, KWIN, jax.device_put(packed.astype(np.int16).reshape(-1))

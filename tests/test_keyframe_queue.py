@@ -185,3 +185,52 @@ def test_prepare_update_packed_plan_rows():
     np.testing.assert_array_equal(pk[13], order)
     np.testing.assert_array_equal(pk[14, :E_pad], inv)
     np.testing.assert_array_equal(pk[15, : EP2 // SUBTE], jj_steps)
+
+
+def test_prepare_update_cache_matches_fresh_across_wrap():
+    """The host prep cache reuses sort-heavy rows keyed by the relative
+    edge structure; the corr plan sorts by jj %% mem which wraps, so a
+    shifted-but-identical structure must still reproduce EXACTLY what a
+    cold cache computes (regression: a phase-blind cache key served a
+    stale corr order past the ring-buffer boundary)."""
+    import jax
+    import numpy as np
+
+    from cdvslam_tpu.config import get_cfg
+    from cdvslam_tpu.slam import SLAM
+
+    cfg = get_cfg()
+    cfg.PATCHES_PER_FRAME = 4
+    cfg.BUFFER_SIZE = 96
+    slam = SLAM(cfg, network="dpv", ht=64, wd=64,
+                update_override=lambda *a: None)
+    M = slam.M
+    mem = slam.mem
+
+    def edges(base):
+        # forward/backward-style pattern spanning 6 frames from `base`
+        kk, jj = [], []
+        for f in range(base, base + 6):
+            for s in range(max(base, f - 3), f):
+                kk.extend(range(s * M, (s + 1) * M))
+                jj.extend([f] * M)
+        return (np.asarray(kk) // M, np.asarray(jj), np.asarray(kk))
+
+    outs = {}
+    for mode in ("cold", "warm"):
+        slam._prep_cache = {}
+        packs = []
+        # bases chosen so jj % mem wraps between structures
+        for base in (mem - 8, mem - 7, 2 * mem - 8, 2 * mem - 7):
+            ii, jj, kk = edges(base)
+            E_pad = slam.pg.bucket(len(ii))
+            if mode == "warm" and base >= 2 * mem - 8:
+                # warm run: later bases hit the cache entries built from
+                # the SAME phase one ring-cycle earlier
+                pass
+            k0, KWIN, packed = slam._prepare_update(ii, jj, kk, E_pad)
+            packs.append((k0, KWIN, np.asarray(packed)))
+        outs[mode] = packs
+    for (k0a, ka, pa), (k0b, kb, pb) in zip(outs["cold"], outs["warm"]):
+        assert k0a == k0b and ka == kb
+        np.testing.assert_array_equal(pa, pb)
