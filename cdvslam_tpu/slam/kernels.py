@@ -144,11 +144,24 @@ def update_body(
     )                                                        # (1,E,P,P,2)
     coords_nchw = coords.transpose(0, 1, 4, 2, 3)
 
-    corrf = corr_features(gmap_buf, fmap1, fmap2, coords_nchw, gmap_idx, jjm,
-                          hw1=HW1, hw2=HW2, plan=corr_plan)
+    # FUSE_ABL: comma-separated phase ablations for perf budgeting (trace
+    # -time, like CORR_ABL): no_corr / no_update / no_ba / no_flowmag
+    import os as _os
+    _abl = set(filter(None, _os.environ.get("FUSE_ABL", "").split(",")))
+    if "no_corr" in _abl:
+        pdim = 2 * 49 * P * P
+        corrf = (jnp.zeros((1, E, pdim), gmap_buf.dtype)
+                 + coords_nchw[0, 0, 0, 0, 0].astype(gmap_buf.dtype))
+    else:
+        corrf = corr_features(gmap_buf, fmap1, fmap2, coords_nchw, gmap_idx,
+                              jjm, hw1=HW1, hw2=HW2, plan=corr_plan)
     ctx = jnp.take(imap_buf, ctx_idx, axis=0, mode="clip")[None]
 
-    if is_cdv:
+    if "no_update" in _abl:
+        net_new = net[None] + corrf[..., :1].astype(net.dtype)
+        d = jnp.zeros((1, E, 2), jnp.float32) + ctx[..., :2].astype(jnp.float32) * 0
+        w = jnp.ones((1, E, 2), jnp.float32)
+    elif is_cdv:
         # learnable-Fourier rotary cache on normalized patch centers
         # (reference slam.py:356-368)
         pc = jnp.take(
@@ -176,19 +189,25 @@ def update_body(
     center = coords[..., P // 2, P // 2, :]
     target = center[0] + d[0].astype(jnp.float32)
 
-    poses, patches_win = ba_solve(
-        poses, patches_win, intr_full[0], target, w[0],
-        ii, jj, kk_local, aux.mask, t0,
-        N=NW, K=KWIN, iterations=iterations, params=INFERENCE_PARAMS,
-        assembly=ba_assembly,
-    )
+    if "no_ba" not in _abl:
+        poses, patches_win = ba_solve(
+            poses, patches_win, intr_full[0], target, w[0],
+            ii, jj, kk_local, aux.mask, t0,
+            N=NW, K=KWIN, iterations=iterations, params=INFERENCE_PARAMS,
+            assembly=ba_assembly,
+        )
+    else:
+        poses = poses + target[0, 0] * 0
 
     # motion magnitude for the keyframe test, computed on the POST-BA poses
     # inside the same dispatch (reference does it in a separate call,
     # slam.py:399-406)
-    fm, _ = flow_mag(SE3(poses[None]), patches_win[None], intr_full[None],
-                     ii, jj, kk_local, beta=0.5)
-    fmean = jnp.mean(fm[0], axis=(-1, -2))
+    if "no_flowmag" in _abl:
+        fmean = jnp.zeros((EPAD,), jnp.float32) + poses[0, 0] * 0
+    else:
+        fm, _ = flow_mag(SE3(poses[None]), patches_win[None], intr_full[None],
+                         ii, jj, kk_local, beta=0.5)
+        fmean = jnp.mean(fm[0], axis=(-1, -2))
 
     def masked_mean(sel):
         c = jnp.maximum(jnp.sum(sel.astype(jnp.float32)), 1.0)
@@ -339,16 +358,17 @@ def shift_gather(poses, patches, intrinsics, imap_buf, gmap_buf, fmap1,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("SPAN", "M", "pmem", "mem"),
-         donate_argnums=tuple(range(11)))
-def remove_keyframe_shift(poses, patches, intrinsics, imap_buf, gmap_buf,
-                          fmap1, fmap2, colors, seg, scale, score, k, n,
-                          *, SPAN: int, M: int, pmem: int, mem: int):
+def shift_span_body(poses, patches, intrinsics, imap_buf, gmap_buf,
+                    fmap1, fmap2, colors, seg, scale, score, k, n,
+                    *, SPAN: int, M: int, pmem: int, mem: int):
     """Delete frame k = n - KEYFRAME_INDEX: rows [k+1, k+1+SPAN) shift to
     [k, k+SPAN); ring slots i%pmem <- (i+1)%pmem for i in [k, k+SPAN).
     SPAN = KEYFRAME_INDEX - 1 is static, so every slice is fixed-shape --
     one dispatch replaces the reference's per-frame Python loop
-    (slam.py:431-441).
+    (slam.py:431-441). Also inlined into the fused frame program (the
+    host knows SPAN at dispatch time): fixed-shape slice copies touch
+    only SPAN rows, where a whole-buffer jnp.take over the 393k patch
+    rows cost ~38 ms/frame on TPU (measured, round 3).
     """
     # relative pose of the removed frame, for the interpolation delta chain
     dP = se3_mul(jnp.take(poses, k, axis=0, mode="clip"),
@@ -391,6 +411,11 @@ def remove_keyframe_shift(poses, patches, intrinsics, imap_buf, gmap_buf,
 
     return (poses, patches, intrinsics, imap_buf, gmap_buf, fmap1, fmap2,
             colors, seg, scale, score, dP)
+
+
+remove_keyframe_shift = partial(
+    jax.jit, static_argnames=("SPAN", "M", "pmem", "mem"),
+    donate_argnums=tuple(range(11)))(shift_span_body)
 
 
 # NOTE: no donation here -- the caller may have stashed references to

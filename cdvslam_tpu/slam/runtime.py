@@ -38,6 +38,7 @@ from ..utils.timer import Timer
 from .kernels import (
     compact_edge_state, compute_points, gather_rows, median_depth,
     motion_extrapolate, motionmag, remove_keyframe_shift, shift_gather,
+    shift_span_body,
     update_body, update_step,
 )
 from .state import PatchGraph
@@ -276,6 +277,10 @@ class SLAM:
             from ..models.patchifier import (
                 coords_grid_with_index, seg_binary_score)
             ht_, wd_ = self.ht, self.wd
+            # FUSE_ABL: trace-time phase ablations for perf budgeting
+            # (see kernels.update_body); frame-phase knobs live here
+            import os as _os
+            _abl = set(filter(None, _os.environ.get("FUSE_ABL", "").split(",")))
 
             def frame_fn(params, image_u8, seed, poses, patches_buf, intr_buf,
                          imap_buf, gmap_buf, f1buf, f2buf, colors_buf,
@@ -288,9 +293,24 @@ class SLAM:
                 image = image_f32.astype(cdtype)
 
                 if is_cdv:
-                    fmap = model.apply(params, image, method=CDVNet.features_f)
+                    if "no_feat" in _abl:
+                        fmap = (jnp.zeros((1, 128, ht_ // 4, wd_ // 4), cdtype)
+                                + image[0, 0, 0, 0])
+                    else:
+                        fmap = model.apply(params, image, method=CDVNet.features_f)
                     tap_pairs = None
-                    if depth_head is not None and depth_is_dpt:
+                    if "no_dino" in _abl:
+                        hi_, wi_ = -(-ht_ // 14), -(-wd_ // 14)
+                        dep = image[0, 0, 0, 0]
+                        tmap = jnp.zeros((1, 384, hi_, wi_), cdtype) + dep
+                        tn = jnp.zeros((1, hi_ * wi_, 384), cdtype) + dep
+                        trw = tn
+                        cls = jnp.zeros((1, 384), cdtype) + dep
+                        score = (jnp.ones((1, hi_, wi_), jnp.float32)
+                                 + dep.astype(jnp.float32) * 0)
+                        if depth_head is not None and depth_is_dpt:
+                            tap_pairs = [(tn.reshape(1, hi_, wi_, 384), cls)] * 4
+                    elif depth_head is not None and depth_is_dpt:
                         tmap, tn, trw, cls, score, tap_pairs = model.apply(
                             params, image, method=CDVNet.features_i_taps
                         )
@@ -461,11 +481,13 @@ class SLAM:
         model = self.model
 
         M_, pmem_, mem_ = self.M, self.pmem, self.mem
+        import os as _os
+        _abl = set(filter(None, _os.environ.get("FUSE_ABL", "").split(",")))
 
         @partial(
             jax.jit,
             static_argnames=("NW", "KWIN", "EPAD", "GROUP_M", "iterations",
-                             "is_cdv", "HW1", "HW2"),
+                             "is_cdv", "HW1", "HW2", "shift_span"),
             donate_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 17, 18, 19),
         )
         def fused_fn(params, image_u8, seed, poses, patches_buf, intr_buf,
@@ -475,20 +497,41 @@ class SLAM:
                      t0, k0, net_valid, ht4, wd4, mm_i, mm_j,
                      shift_k, shift_np, *,
                      NW, KWIN, EPAD, GROUP_M, iterations, is_cdv,
-                     HW1, HW2):
-            # deferred keyframe removal rides this dispatch (no-op gather
-            # when shift_k < 0)
-            (poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf,
-             f2buf, colors_buf, seg_buf, scale_buf, score_buf,
-             dP) = shift_gather(
-                poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf,
-                f2buf, colors_buf, seg_buf, scale_buf, score_buf,
-                shift_k, shift_np, M=M_, pmem=pmem_, mem=mem_)
-            (poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf, f2buf,
-             colors_buf, seg_buf, scale_buf, score_buf) = frame_body(
-                params, image_u8, seed, poses, patches_buf, intr_buf,
-                imap_buf, gmap_buf, f1buf, f2buf, colors_buf, seg_buf,
-                scale_buf, score_buf, n, fac, True, intr_row)
+                     HW1, HW2, shift_span=0):
+            # deferred keyframe removal rides this dispatch; shift_span is
+            # STATIC (the host knows the removal span at dispatch time),
+            # so the shift is SPAN fixed-shape slice copies -- a
+            # whole-buffer jnp.take over the 393k patch rows measured
+            # ~38 ms/frame on this chip (round-3 ablation)
+            if "force_shiftg" in _abl:
+                (poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf,
+                 f2buf, colors_buf, seg_buf, scale_buf, score_buf,
+                 dP) = shift_gather(
+                    poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf,
+                    f2buf, colors_buf, seg_buf, scale_buf, score_buf,
+                    shift_k, shift_np, M=M_, pmem=pmem_, mem=mem_)
+            elif "no_shiftg" in _abl or shift_span <= 0:
+                dP = (jnp.asarray([0., 0., 0., 0., 0., 0., 1.], poses.dtype)
+                      + 0.0 * poses[0, 0])
+            else:
+                (poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf,
+                 f2buf, colors_buf, seg_buf, scale_buf, score_buf,
+                 dP) = shift_span_body(
+                    poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf,
+                    f2buf, colors_buf, seg_buf, scale_buf, score_buf,
+                    shift_k, shift_np, SPAN=shift_span, M=M_,
+                    pmem=pmem_, mem=mem_)
+            if "no_frame" not in _abl:
+                (poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf, f2buf,
+                 colors_buf, seg_buf, scale_buf, score_buf) = frame_body(
+                    params, image_u8, seed, poses, patches_buf, intr_buf,
+                    imap_buf, gmap_buf, f1buf, f2buf, colors_buf, seg_buf,
+                    scale_buf, score_buf, n, fac, True, intr_row)
+            if "no_updatebody" in _abl:
+                mm = jnp.zeros((2,), jnp.float32) + 0.0 * poses[0, 0].astype(jnp.float32)
+                return (poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf,
+                        f2buf, colors_buf, seg_buf, scale_buf, score_buf,
+                        net_full, target_full, weight_full, mm, dP)
             # steady-state local BA tolerates the one-hot assembly's f32
             # reassociation (2.9x faster); init/termination/global solves
             # go through update_step and stay on 'scatter' (see ba_solve)
@@ -500,7 +543,7 @@ class SLAM:
                 mm_i, mm_j,
                 NW=NW, KWIN=KWIN, EPAD=EPAD, GROUP_M=GROUP_M,
                 iterations=iterations, is_cdv=is_cdv, HW1=HW1, HW2=HW2,
-                ba_assembly="onehot")
+                ba_assembly=_os.environ.get("BA_ASSEMBLY", "onehot"))
             return (poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf,
                     f2buf, colors_buf, seg_buf, scale_buf, score_buf,
                     net_full, target_full, weight_full, mm, dP)
@@ -552,7 +595,14 @@ class SLAM:
 
         pend = getattr(self, "_pending_shift", None)
         shift_k, shift_np = pend if pend is not None else (-1, 0)
-        self._pending_shift = None
+        shift_span = shift_np - 1 - shift_k if pend is not None else 0
+        if pend is not None and not (1 <= shift_span <= cfg.KEYFRAME_INDEX + 2):
+            # out-of-band span: apply eagerly outside the fused program
+            # (generic gather path); the fused dispatch then has no shift
+            self._apply_pending_shift()
+            shift_k, shift_np, shift_span = -1, 0, 0
+        else:
+            self._pending_shift = None
         with Timer("dispatch", enabled=self.enable_timing):
             (pg.poses_, pg.patches_, pg.intrinsics_, pg.imap_, pg.gmap_,
              pg.fmap1_, pg.fmap2_, pg.colors_dev, pg.seg_dev, pg.scale_,
@@ -569,6 +619,7 @@ class SLAM:
                 GROUP_M=self.M if self.is_cdv else 0,
                 iterations=ba_iters, is_cdv=self.is_cdv,
                 HW1=self._hw1, HW2=self._hw2,
+                shift_span=shift_span,
             )
         pd = getattr(self, "_pending_delta", None)
         if pd is not None:
