@@ -130,24 +130,33 @@ def update_body(
         patches_full, (k0, 0, 0, 0),
         (KWIN,) + patches_full.shape[1:],
     )
+    # FUSE_ABL: comma-separated phase ablations for perf budgeting (trace
+    # -time, like CORR_ABL): no_corr / no_update / no_ba / no_flowmag /
+    # no_netgather / no_ctx / no_transform / no_writeback
+    import os as _os
+    _abl = set(filter(None, _os.environ.get("FUSE_ABL", "").split(",")))
+
     # gather the hidden state per edge: identity normally; a survivor
     # compaction when a keyframe removal / retirement is pending (packed
     # row 12) -- the compaction rides this dispatch instead of its own
-    net = jnp.take(net_full, a_gather, axis=0, mode="clip")
-    # zero hidden state of newly-appended edges
-    net = jnp.where((jnp.arange(EPAD) < net_valid)[:, None], net, 0.0)
+    if "no_netgather" in _abl:
+        net = jnp.zeros_like(net_full[:EPAD]) + net_full[0, :1]
+    else:
+        net = jnp.take(net_full, a_gather, axis=0, mode="clip")
+        # zero hidden state of newly-appended edges
+        net = jnp.where((jnp.arange(EPAD) < net_valid)[:, None], net, 0.0)
     E = ii.shape[0]
     P = patches_win.shape[-1]
 
-    coords = transform(
-        SE3(poses[None]), patches_win[None], intr_full[None], ii, jj, kk_local
-    )                                                        # (1,E,P,P,2)
+    if "no_transform" in _abl:
+        coords = (jnp.zeros((1, E, P, P, 2), jnp.float32)
+                  + poses[0, 0] + patches_win[0, 0, 0, 0] + 10.0)
+    else:
+        coords = transform(
+            SE3(poses[None]), patches_win[None], intr_full[None], ii, jj,
+            kk_local
+        )                                                    # (1,E,P,P,2)
     coords_nchw = coords.transpose(0, 1, 4, 2, 3)
-
-    # FUSE_ABL: comma-separated phase ablations for perf budgeting (trace
-    # -time, like CORR_ABL): no_corr / no_update / no_ba / no_flowmag
-    import os as _os
-    _abl = set(filter(None, _os.environ.get("FUSE_ABL", "").split(",")))
     if "no_corr" in _abl:
         pdim = 2 * 49 * P * P
         corrf = (jnp.zeros((1, E, pdim), gmap_buf.dtype)
@@ -155,7 +164,11 @@ def update_body(
     else:
         corrf = corr_features(gmap_buf, fmap1, fmap2, coords_nchw, gmap_idx,
                               jjm, hw1=HW1, hw2=HW2, plan=corr_plan)
-    ctx = jnp.take(imap_buf, ctx_idx, axis=0, mode="clip")[None]
+    if "no_ctx" in _abl:
+        ctx = (jnp.zeros((EPAD, imap_buf.shape[1]), imap_buf.dtype)
+               + imap_buf[0, :1])[None]
+    else:
+        ctx = jnp.take(imap_buf, ctx_idx, axis=0, mode="clip")[None]
 
     if "no_update" in _abl:
         net_new = net[None] + corrf[..., :1].astype(net.dtype)
@@ -221,6 +234,11 @@ def update_body(
     delta_norm = jnp.linalg.norm(d[0].astype(jnp.float32), axis=-1)
 
     # ---- write back into the full donated buffers ----
+    if "no_writeback" in _abl:
+        dep = (jnp.ravel(patches_win)[0] + jnp.ravel(net_new)[0].astype(jnp.float32)
+               + jnp.ravel(target)[0] + jnp.ravel(w)[0]) * 0.0
+        return (poses + dep, patches_full, net_full, target_full,
+                weight_full, delta_norm, mm)
     patches_full = jax.lax.dynamic_update_slice(
         patches_full, patches_win, (k0, 0, 0, 0))
     net_full = jax.lax.dynamic_update_slice(
