@@ -6,63 +6,52 @@ TPU-native replacement for the reference CUDA correlation kernel
 taps per patch pixel, out-of-image taps read zero, 4-tap bilinear blend
 to (2R+1)^2, output layout (B, E, Dx, Dy, P, P).
 
-Design (v5). Window extraction is reformulated as ONE-HOT GATHER
+Design (v9). Window extraction is reformulated as ONE-HOT GATHER
 MATMULS so the MXU does the gathering and the VPU only builds tiny 0/1
-selection matrices. Per edge (all P*P pixels together, tap columns
-(p, u) padded to PPD2=128 lanes):
+selection matrices. Per CB-edge CHUNK (all P*P pixels of all CB edges
+together, per-edge tap columns (p, u) padded to PPD2=96 lanes --
+CB*PPD2 = 384 keeps lane-tile alignment with 25% less pad than 128):
 
-    band  = frame[s, :, ty:ty+TH, txb:txb+128]    # one lane tile wide
-    G2[(c,y),(p,u)] = g[c,p] * [y == ry_p + u]    # row one-hot * gmap
-    T     = G2^T @ band.(C*TH, 128)               # channel+row contract (MXU)
-    out2  = T(128, 128) @ CM0(128, 128)           # column one-hot      (MXU)
-    vol   = block-diagonal of out2                # (PP, D, D) taps
-    out   = 4-tap bilinear blend (XLA side)       # (PP, D-1, D-1)
+    band  = frame[ty:ty+THB, :, txb:txb+TWB]      # (THB, C, TWB) slab
+    G2[(y,c),(e,p,u)] = g[c,e,p] * [y == ry_ep + u]
+    T     = G2^T @ band.(THB*C, TWB)              # y+chan contract (MXU)
+    out2  = T @ CM0(TWB, CG*PPD2), block-diag masked
+    out   = SUMQ^T @ out2^T                       # (D, CG*PPD2) taps
+    blend = 4-tap bilinear (XLA side)             # (PP, D-1, D-1)
 
-The one-lane-wide band is possible because the frame is staged as FOUR
-SHIFTED COPIES -- (0/4 rows, 0/64 cols) -- so any 4-row/64-col-aligned
-window origin is sublane/lane aligned in one of them. Edges whose taps
-still overflow the TH-row/128-col band (wild reprojections or clamp
-straddling in EITHER axis) take the exact slow-path fallback below.
+The frame is staged rows-OUTER / channels-sublane as (Hp, C, 2*Wc):
+TWO x-copies concatenated along lanes, image origins at columns D and
+Wc+D+64. Row band slices need no alignment (outer dim); the 64-shifted
+second copy makes every 64-aligned x origin lane-aligned in one of the
+copies, so TWB stays 128 (one lane tile) instead of 256 -- halving the
+phase B/C contraction width. (v5-v7 stored FOUR shifted copies because
+rows lived on the sublane axis and needed 4-row shift copies too.)
 
-Scheduling: the per-step edge tile is TE (default 32) edges -- large,
-because the per-grid-step overhead (~2 us of block-DMA issue cost) must
-be amortized; edge runs per target frame are only padded to SUBTE=8 and
-the VMEM frame cache is re-filled by an explicit DMA at sub-tile
-boundaries when the target frame changes (~NF fetches per call).
+Edges are sorted by (target frame, y cell, x cell) -- a small device
+argsort per update (plan_corr_cells) -- so consecutive CB-edge chunks
+share a band. The chunk band origin is the elementwise min of the
+chunk's per-edge window origins; edges whose taps spill the shared
+band (rare after the cell sort) take an exact slow-path fallback
+against the full first-copy frame. The fallback loop is gated per grid
+step on a prefetched fallback count, so fallback-free steps (the
+common case) pay one scalar branch, not TE of them.
 
-v6 batches the phases ACROSS edges wherever the operands allow it --
-the per-edge op-issue latency, not FLOPs, is what three generations of
-this kernel measured as the cost floor:
+Per-edge payloads are COMPACT (gec: C x 16/edge features, rxyc:
+4 x 16 bf16 tap rows) and expanded on-chip by one shared block-diagonal
+one-hot matmul per XE-edge chunk. The tap rows split per-edge-origin-
+relative offsets (rows 0-1, small, exact in bf16) from the edge->chunk
+origin deltas (rows 2-3, small row counts / multiples of 64, also
+exact); the kernel re-bases taps to the chunk origin with two
+whole-tile adds.
 
-  * phase A (G2 build) reads only the contiguously packed ge/rye
-    columns, so the WHOLE tile is built with one 4-op sequence over
-    (C*TH, TE*128) instead of 4 ops per edge;
-  * phase B (band gather matmul) stays per-edge -- each edge's band
-    origin (ty, txb, copy) differs, and those live only on device;
-  * phase C (column select) stacks CG edges' T rows into one
-    (CG*128, TWB) @ (TWB, CG*128) matmul; cross-edge products land in
-    off-diagonal blocks that the existing block-diagonal mask already
-    kills (rowidx//D == colidx//D forces edge AND patch-pixel match),
-    trading a CGx FLOP overshoot (cheap, MXU) for a CGx op reduction.
+The kernel writes the tap volume TRANSPOSED, (D, TE*PPD2): with D on
+the sublane axis and tap columns on the lane axis every output tile is
+dense, where a (TE*PPD2, D) block would waste 15/16 of each lane tile.
 
-v7 attacks the remaining data-proportional pipeline floor (~5.5 ms at
-E=12k measured by ablation): the dominant HBM->VMEM stream was the
-tap-expanded ge (C x 128 lanes/edge, each patch-pixel feature repeated
-D=8x) plus two int32 tap vectors. The per-edge payload is now COMPACT --
-PP taps padded to 16 lanes (gec: C x 16/edge, rxyc: 2 x 16/edge) -- and
-the kernel expands it on-chip with ONE shared block-diagonal one-hot
-matmul per XE-edge chunk (Xexp[(e,p),(e',(p',u))] = [e==e'][p==p'],
-built as an XLA constant and resident in VMEM across grid steps; the
-+u tap offsets are a broadcast iota added after the expansion). This
-cuts the streamed bytes per edge ~8x for ~0.1 ms of extra MXU work.
-
-Edges are pre-sorted by target frame (plan_corr_order on the host, or
-the jnp fallback here); outputs are written in sorted order and
-un-permuted by one XLA gather.
-
-Rare edges whose pixel windows spread beyond the shared 24-row band
-(wild reprojections, clamp straddling) take an exact fallback that runs
-the same one-hot machinery against the full padded frame.
+Scheduling: TE (default 64) edges per grid step; frame runs padded to
+SUBTE=8 and the VMEM frame cache re-fetched at sub-tile boundaries when
+the target frame changes (~NF fetches per call, tracked by an SMEM
+frame id so fallback refetches can't poison the skip condition).
 """
 from __future__ import annotations
 
@@ -75,58 +64,71 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TE = int(_os.environ.get("CORR_TE", "32"))  # edges per grid step
-TH = int(_os.environ.get("CORR_TH", "16"))  # shared row band height
+TE = int(_os.environ.get("CORR_TE", "64"))  # edges per grid step
+THB = int(_os.environ.get("CORR_TH", "26"))  # shared row band height
 SUBTE = 8                                   # frame-run pad / refetch tile
+CB = int(_os.environ.get("CORR_CB", "4"))   # edges per shared-band chunk
 TWB = 128                                   # column band width (one lane tile)
-XSHIFT = 64                                 # x copy column shift
-YSHIFT = 4                                  # y copy row shift
-PPD2 = 128                                  # padded per-edge tap columns
-PPC = 16                                    # compact per-edge tap columns (v7)
+PPD2 = 96                                   # padded per-edge tap columns
+PPC = 16                                    # compact per-edge tap columns
 XE = 32                                     # edges per expansion chunk (Xexp size)
 CG = int(_os.environ.get("CORR_CG", "4"))   # phase-C cross-edge batch width
+YCELL = 16                                  # supercell row quantum
+XCELL = 64                                  # x quantum (copy shift/supercell)
+NSY = 32                                    # supercell grid rows per frame
+NSX = 8                                     # supercell grid cols per frame
 assert TE % SUBTE == 0 and TE % CG == 0, "TE must be divisible by SUBTE and CG"
+assert SUBTE % CB == 0, "CB must divide SUBTE (chunks cannot straddle frames)"
 assert TE % XE == 0 or XE % TE == 0, "TE and XE must nest"
+assert (CB * PPD2) % 128 == 0 and (CG * PPD2) % 128 == 0, \
+    "chunk/group tap columns must stay lane-tile aligned"
 
 
 def corr_epad(E, NF):
     """Static padded edge count for an E-edge, NF-frame corr call: room
-    for per-frame run padding (SUBTE granularity), rounded to TE."""
-    e = -((E + NF * SUBTE) // -SUBTE) * SUBTE
+    for per-frame run padding (SUBTE granularity) plus supercell-run
+    padding (~10% in practice; the plan degrades gracefully to unpadded
+    supercells if the budget ever falls short), rounded to TE."""
+    e = E + NF * SUBTE + max(E // 8, 4 * SUBTE)
+    e = -(e // -SUBTE) * SUBTE
     return -(e // -TE) * TE
 
 
-def _corr_kernel_v7(jjs_ref, tys_ref, txbs_ref, ss_ref, oky_ref,  # prefetch
+def _corr_kernel_v9(jjs_ref, tys_ref, txbs_ref, oky_ref, fbs_ref,  # prefetch
                     gec_ref, rxyc_ref, xexp_ref, frame_hbm, out_ref,
                     fcache, g2s, ts, gef, rxy, fid, sem,
-                    *, C, PP, D, Hp, Wpc, TH_, XE_):
-    """One grid step = TE edges, sorted by target frame.
+                    *, C, PP, D, Hp, Wc, THB_, XE_):
+    """One grid step = TE edges, sorted by (target frame, cell).
 
-    frame_hbm: (NF, 4, C, Hp, Wpc) zero-padded frame, (0/4 row, 0/64
-               col)-shifted copies (maintained incrementally by the
-               runtime)
-    fcache:  (4, C, Hp, Wpc) VMEM scratch (current frame, all views)
-    g2s:     (C*TH_, TE*PPD2) whole-tile G2 scratch (phase A output)
+    frame_hbm: (NF, Hp, C, 2*Wc) zero-padded frames, rows outer /
+               channels sublane, two 64-shifted x copies on the lane
+               axis (maintained incrementally by the runtime)
+    fcache:  (Hp, C, 2*Wc) VMEM scratch (current frame)
+    g2s:     (THB_*C, TE*PPD2) whole-tile G2 scratch (phase A output)
     ts:      (TE*PPD2, TWB) stacked per-edge T rows (phase B output)
     gef:     (C, TE*PPD2) tap-expanded patch features (phase 0 output)
-    rxy:     (2, TE*PPD2) int32 expanded column/row taps (phase 0 output)
+    rxy:     (2, TE*PPD2) int32 expanded chunk-relative x/y taps
     gec_ref: (1, C, TE*PPC) COMPACT patch features, 16 cols/edge
-    rxyc_ref:(1, 2, TE*PPC) compact taps as bf16, row 0 = x rel. txb,
-             row 1 = y rel. ty; -9 sentinel on pad columns (stays
-             negative after the +u offset, so one-hot compares miss)
+    rxyc_ref:(1, 4, TE*PPC) compact taps as bf16: rows 0/1 = x/y rel.
+             the EDGE's own window origin (small, bf16-exact), rows 2/3
+             = edge-origin -> chunk-origin deltas (x: multiples of 64,
+             y: small; both bf16-exact); -9 sentinel on pad columns of
+             rows 0/1 (stays negative after the +u offset)
     xexp_ref:(XE_*PPC, XE_*PPD2) 0/1 block-diag expansion matrix,
              constant across grid steps (fetched once)
-    oky_ref: (EP,) int32 fast-path flag (row taps fit the shared band)
-    out:     (1, TE*PPD2, D) raw tap volumes in the compute dtype,
-             (edge, p, u)-major rows
+    tys/txbs: per-CHUNK band origins (EP//CB,); txb is a 128-aligned
+             BUFFER column (copy select folded in on the host side)
+    oky_ref: (EP//CB,) int32 per-CHUNK fast-path flag
+    fbs_ref: (nsteps,) int32 count of fallback edges per grid step
+    out:     (1, D, TE*PPD2) raw tap volumes, v-major rows
     """
     g = pl.program_id(0)
     cdt = fcache.dtype
 
-    # ---- phase 0: on-chip tap expansion (compact -> 128-col/edge) ----
-    # per XE_-edge chunk: ONE (C, XE_*16) @ (XE_*16, XE_*128) matmul for
-    # the features and one (2, ...) for the tap vectors; +u offsets are a
-    # broadcast iota; everything downstream reads the expanded scratch
+    # ---- phase 0: on-chip tap expansion (compact -> 96-col/edge) ----
+    # per XE_-edge chunk: ONE (C, XE_*16) @ (XE_*16, XE_*96) matmul for
+    # the features and one (4, ...) for the tap rows; +u offsets are a
+    # broadcast iota; chunk re-basing is two whole-tile adds
     cidx = jax.lax.broadcasted_iota(jnp.int32, (1, XE_ * PPD2), 1) % PPD2
     # columns whose (p', u) decodes past PPC rows get no expansion input
     # (matmul gives 0) -- poison them so the one-hot compares miss
@@ -137,48 +139,52 @@ def _corr_kernel_v7(jjs_ref, tys_ref, txbs_ref, ss_ref, oky_ref,  # prefetch
             gec_ref[0, :, ci:ci + XE_ * PPC], xexp_ref[...],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(cdt)
-        rxy[:, co:co + XE_ * PPD2] = (jax.lax.dot_general(
+        r4 = jax.lax.dot_general(
             rxyc_ref[0, :, ci:ci + XE_ * PPC], xexp_ref[...],
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + upat).astype(jnp.int32)
+            preferred_element_type=jnp.float32)              # (4, XE_*PPD2)
+        rxy[0:1, co:co + XE_ * PPD2] = (r4[0:1] + r4[2:3] + upat
+                                        ).astype(jnp.int32)
+        rxy[1:2, co:co + XE_ * PPD2] = (r4[1:2] + r4[3:4] + upat
+                                        ).astype(jnp.int32)
 
-    # step-level constants
-    yio = jax.lax.broadcasted_iota(jnp.int32, (TH_, 1), 0)
-    rowio = jax.lax.broadcasted_iota(jnp.int32, (C * TH_, 1), 0)
-    y_of_row = rowio % TH_
-    c_of_row = rowio // TH_
+    # step-level constants; g2s rows are (y, c)-major: row = y*C + c,
+    # matching the (THB_, C, TWB) band slab reshape
+    rowio = jax.lax.broadcasted_iota(jnp.int32, (THB_ * C, 1), 0)
     cio = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
-    ohc = (c_of_row == cio).astype(cdt)                     # (C*TH_, C)
-    ohy = (y_of_row == jax.lax.broadcasted_iota(
-        jnp.int32, (1, TH_), 1)).astype(cdt)                # (C*TH_, TH_)
+    ohc = ((rowio % C) == cio).astype(cdt)                  # (THB_*C, C)
+    ohy = ((rowio // C) == jax.lax.broadcasted_iota(
+        jnp.int32, (1, THB_), 1)).astype(cdt)               # (THB_*C, THB_)
+    yio = jax.lax.broadcasted_iota(jnp.int32, (THB_, 1), 0)
     wio = jax.lax.broadcasted_iota(jnp.int32, (TWB, 1), 0)  # (TWB, 1)
-    # per-edge (fallback) and CG-group (phase C) select/reduce constants;
-    # rowidx//D = e*(PPD2//D) + p uniquely keys (edge, patch pixel), so
-    # the group-sized block-diag mask kills every cross-edge product
-    puio = jax.lax.broadcasted_iota(jnp.int32, (PPD2, 1), 0)
-    qvio = jax.lax.broadcasted_iota(jnp.int32, (1, PPD2), 1)
-    blockdiag = (puio // D) == (qvio // D)                  # (PPD2, PPD2)
+    # select/reduce constants: a column inside an edge's PPD2 block
+    # decodes as (p, u) = (local // D, local % D); the (edge, p) pair
+    # keys the block-diag mask (PPD2 % D != 0 for radius != 3, so a
+    # global idx // D would straddle edges)
     vio = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1)
-    sumq = ((puio % D) == vio).astype(cdt)                  # (PPD2, D)
     gpu = jax.lax.broadcasted_iota(jnp.int32, (CG * PPD2, 1), 0)
     gqv = jax.lax.broadcasted_iota(jnp.int32, (1, CG * PPD2), 1)
-    blockdiag_g = (gpu // D) == (gqv // D)                  # (CG*PPD2, CG*PPD2)
-    sumq_g = ((gpu % D) == vio).astype(cdt)                 # (CG*PPD2, D)
+    blockdiag_g = ((gpu // PPD2 == gqv // PPD2)
+                   & ((gpu % PPD2) // D == (gqv % PPD2) // D))
+    viod = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0)
+    sumq_gt = (((gqv % PPD2) % D) == viod).astype(cdt)      # (D, CG*PPD2)
 
     # ---- phase A: build G2 for the WHOLE tile in one 4-op sequence ----
     # (gef/rxy columns are contiguous across edges, so nothing is per-edge)
     if _os.environ.get("CORR_ABL") in ("no_a", "floor"):
-        g2s[...] = jnp.zeros((C * TH_, TE * PPD2), cdt)
+        g2s[...] = jnp.zeros((THB_ * C, TE * PPD2), cdt)
     else:
         grep = jax.lax.dot_general(
             ohc, gef[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(cdt)     # (C*TH_, TE*PPD2)
-        ysel = (yio == rxy[1:2, :]).astype(cdt)                 # (TH_, TE*PPD2)
+            preferred_element_type=jnp.float32).astype(cdt)  # (THB_*C, TE*PPD2)
+        ysel = (yio == rxy[1:2, :]).astype(cdt)             # (THB_, TE*PPD2)
         yex = jax.lax.dot_general(
             ohy, ysel, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(cdt)
-        g2s[...] = grep * yex                                   # (C*TH_, TE*PPD2)
+        g2s[...] = grep * yex                               # (THB_*C, TE*PPD2)
 
+    # ---- phase B: chunked band gather matmuls (MXU): CB edges share one
+    # contiguous band slab + ONE matmul --------------------------------
     for sub in range(TE // SUBTE):
         sg = g * (TE // SUBTE) + sub
 
@@ -193,106 +199,118 @@ def _corr_kernel_v7(jjs_ref, tys_ref, txbs_ref, ss_ref, oky_ref,  # prefetch
             cp.wait()
             fid[0] = jjs_ref[sg]
 
-        # ---- phase B: band gather matmuls (MXU, per edge: the band
-        # origin (ty, txb, copy) is different for every edge) -----------
-        for k in range(SUBTE):
-            t = sub * SUBTE + k
-            e = g * TE + t
-            if _os.environ.get("CORR_ABL") == "static_slice":
-                band2d = fcache[0, :, 0:TH_, 0:TWB].reshape(C * TH_, TWB)
-            elif _os.environ.get("CORR_ABL") in ("no_b", "floor"):
-                ts[t * PPD2:(t + 1) * PPD2] = g2s[:PPD2, t * PPD2:(t + 1) * PPD2] * 0.0
+        for q in range(SUBTE // CB):
+            tq = sub * (SUBTE // CB) + q
+            ch = g * (TE // CB) + tq
+            lo = tq * CB * PPD2
+            if _os.environ.get("CORR_ABL") in ("no_b", "floor"):
+                ts[lo:lo + CB * PPD2] = jnp.zeros((CB * PPD2, TWB), cdt)
                 continue
-            else:
-                ty = pl.multiple_of(tys_ref[e], 8)
-                txb = pl.multiple_of(txbs_ref[e], 128)
-                band2d = fcache[ss_ref[e], :, pl.ds(ty, TH_),
-                                pl.ds(txb, TWB)].reshape(C * TH_, TWB)
-            ts[t * PPD2:(t + 1) * PPD2] = jax.lax.dot_general(
-                g2s[:, t * PPD2:(t + 1) * PPD2], band2d,
+            ty = tys_ref[ch]
+            txb = pl.multiple_of(txbs_ref[ch], 128)
+            band2d = fcache[pl.ds(ty, THB_), :,
+                            pl.ds(txb, TWB)].reshape(THB_ * C, TWB)
+            ts[lo:lo + CB * PPD2] = jax.lax.dot_general(
+                g2s[:, lo:lo + CB * PPD2], band2d,
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).astype(cdt)                                   # (PPD2, TWB)
+            ).astype(cdt)                                   # (CB*PPD2, TWB)
 
     # ---- phase C: column select + block-diag reduce, CG edges at a
     # time: one (CG*PPD2, TWB) @ (TWB, CG*PPD2) matmul whose cross-edge
     # blocks are discarded by the mask (FLOP overshoot on the MXU is far
-    # cheaper than CG-x the op-issue latency) ---------------------------
+    # cheaper than CG-x the op-issue latency); the final reduce writes
+    # the volume transposed, (D, CG*PPD2), for dense output tiles ------
     for cg in range(TE // CG):
-        if _os.environ.get("CORR_ABL") in ("no_c", "floor"):
-            out_ref[0, cg * CG * PPD2:(cg + 1) * CG * PPD2] = jnp.zeros(
-                (CG * PPD2, D), out_ref.dtype)
-            continue
         lo = cg * CG * PPD2
+        if _os.environ.get("CORR_ABL") in ("no_c", "floor"):
+            out_ref[0, :, lo:lo + CG * PPD2] = jnp.zeros(
+                (D, CG * PPD2), out_ref.dtype)
+            continue
         cm0 = (wio == rxy[0:1, lo:lo + CG * PPD2]).astype(cdt)
         out2 = jax.lax.dot_general(
             ts[lo:lo + CG * PPD2], cm0, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)     # (CG*PPD2, CG*PPD2)
         out2m = jnp.where(blockdiag_g, out2, 0.0).astype(cdt)
-        out_ref[0, lo:lo + CG * PPD2] = jax.lax.dot_general(
-            out2m, sumq_g, (((1,), (0,)), ((), ())),
+        out_ref[0, :, lo:lo + CG * PPD2] = jax.lax.dot_general(
+            sumq_gt, out2m, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(out_ref.dtype)                     # (CG*PPD2, D)
+        ).astype(out_ref.dtype)                     # (D, CG*PPD2)
 
     if _os.environ.get("CORR_NOSLOW") == "1":
         return
 
-    # exact fallback (pathological row spread): gather from the FULL
-    # padded frame (copy 0) with absolute taps; rolled loop + pl.when so
-    # it only costs on actual fallback edges (rare)
-    rowioH = jax.lax.broadcasted_iota(jnp.int32, (C * Hp, 1), 0)
-    ohcH = ((rowioH // Hp) == cio).astype(cdt)              # (C*Hp, C)
-    yofH = rowioH % Hp
-    wioW = jax.lax.broadcasted_iota(jnp.int32, (Wpc, 1), 0)
+    # exact fallback (taps spill the shared chunk band): recompute the
+    # whole CB-edge CHUNK (CB*PPD2 columns stay lane-tile aligned where
+    # a single edge's 96 would not) against the full first-copy frame
+    # with absolute taps. The loop is gated on the step's prefetched
+    # fallback count, so fallback-free steps (the common case after the
+    # cell sort) pay ONE scalar branch.
+    @pl.when(fbs_ref[g] > 0)
+    def _slow_all():
+        CW = CB * PPD2
+        rowioH = jax.lax.broadcasted_iota(jnp.int32, (Hp * C, 1), 0)
+        ohcH = ((rowioH % C) == cio).astype(cdt)            # (Hp*C, C)
+        yofH = rowioH // C
+        wioW = jax.lax.broadcasted_iota(jnp.int32, (Wc, 1), 0)
+        puio = jax.lax.broadcasted_iota(jnp.int32, (CW, 1), 0)
+        qvio = jax.lax.broadcasted_iota(jnp.int32, (1, CW), 1)
+        blockdiag = ((puio // PPD2 == qvio // PPD2)
+                     & ((puio % PPD2) // D == (qvio % PPD2) // D))
+        viodf = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0)
+        sumq_t = (((qvio % PPD2) % D) == viodf).astype(cdt)  # (D, CW)
 
-    def _slow_body(t, carry):
-        e = g * TE + t
+        def _slow_body(t, carry):
+            ch = g * (TE // CB) + t
 
-        @pl.when(oky_ref[e] == 0)
-        def _slow():
-            # the fast phases left the LAST sub-tile's frame in fcache;
-            # re-fetch this edge's frame (rare edges, so the extra DMA
-            # does not matter)
-            sg = g * (TE // SUBTE) + t // SUBTE
-            cpf = pltpu.make_async_copy(frame_hbm.at[jjs_ref[sg]],
-                                        fcache, sem)
-            cpf.start()
-            cpf.wait()
-            fid[0] = jjs_ref[sg]
-            lo = pl.multiple_of(t * PPD2, PPD2)
-            gexp = gef[:, pl.ds(lo, PPD2)]
-            grepf = jax.lax.dot_general(
-                ohcH, gexp, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(cdt)
-            tapy = (rxy[1:2, pl.ds(lo, PPD2)] + tys_ref[e]
-                    + YSHIFT * (ss_ref[e] // 2))
-            tapx = (rxy[0:1, pl.ds(lo, PPD2)] + txbs_ref[e]
-                    + XSHIFT * (ss_ref[e] % 2))
-            g2f = jnp.where(yofH == tapy, grepf, jnp.zeros((), cdt))
-            full2d = fcache[0].reshape(C * Hp, Wpc)
-            Tf = jax.lax.dot_general(
-                g2f, full2d, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(cdt)
-            cm0f = (wioW == tapx).astype(cdt)               # (Wpc, PPD2)
-            out2 = jax.lax.dot_general(
-                Tf, cm0f, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            out2m = jnp.where(blockdiag, out2, 0.0).astype(cdt)
-            out_ref[0, pl.ds(lo, PPD2)] = jax.lax.dot_general(
-                out2m, sumq, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(out_ref.dtype)
+            @pl.when(oky_ref[ch] == 0)
+            def _slow():
+                # the fast phases left the LAST sub-tile's frame in
+                # fcache; re-fetch this chunk's frame (rare chunks, so
+                # the extra DMA does not matter)
+                sg = g * (TE // SUBTE) + (t * CB) // SUBTE
+                cpf = pltpu.make_async_copy(frame_hbm.at[jjs_ref[sg]],
+                                            fcache, sem)
+                cpf.start()
+                cpf.wait()
+                fid[0] = jjs_ref[sg]
+                lo = pl.multiple_of(t * CW, CW)
+                gexp = gef[:, pl.ds(lo, CW)]
+                grepf = jax.lax.dot_general(
+                    ohcH, gexp, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(cdt)
+                # re-base chunk-relative taps to absolute padded coords
+                tapy = rxy[1:2, pl.ds(lo, CW)] + tys_ref[ch]
+                tapx = rxy[0:1, pl.ds(lo, CW)] + txbs_ref[ch] \
+                    - jnp.where(txbs_ref[ch] >= Wc, Wc + XCELL, 0)
+                g2f = jnp.where(yofH == tapy, grepf, jnp.zeros((), cdt))
+                full2d = fcache[:, :, pl.ds(0, Wc)].reshape(Hp * C, Wc)
+                Tf = jax.lax.dot_general(
+                    g2f, full2d, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(cdt)
+                cm0f = (wioW == tapx).astype(cdt)           # (Wc, CW)
+                out2 = jax.lax.dot_general(
+                    Tf, cm0f, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                out2m = jnp.where(blockdiag, out2, 0.0).astype(cdt)
+                out_ref[0, :, pl.ds(lo, CW)] = jax.lax.dot_general(
+                    sumq_t, out2m, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
-        return carry
+            return carry
 
-    jax.lax.fori_loop(0, TE, _slow_body, 0)
+        jax.lax.fori_loop(0, TE // CB, _slow_body, 0)
 
 
 def plan_corr_order(jj_np, NF, E_pad):
-    """Host-side (numpy) edge ordering for the kernel: edges sorted by
-    target frame, each frame's run padded to a multiple of SUBTE with
-    the sentinel index E (a zero row appended to the per-edge inputs).
-    Returns (order, jj_steps, inv): order (E_pad,), jj_steps
-    (E_pad // SUBTE,) per-sub-tile frame ids, inv (E,)."""
+    """Host-side (numpy) FRAME-ONLY edge ordering: edges sorted by target
+    frame, each frame's run padded to a multiple of SUBTE with the
+    sentinel index E. Returns (order, jj_steps, inv).
+
+    Compatibility/bootstrap path: correctness never depends on the
+    ordering, but without the cell sort (plan_corr_cells) chunk locality
+    is poor and most edges take the exact slow-path fallback -- the
+    runtime refines this plan on device from the reprojected coords."""
     E = len(jj_np)
     order_real = np.argsort(jj_np, kind="stable")
     jj_s = np.asarray(jj_np)[order_real]
@@ -312,69 +330,100 @@ def plan_corr_order(jj_np, NF, E_pad):
         jj_steps[pos // SUBTE:(pos + n + npad) // SUBTE] = f
         pos += n + npad
         start = end
-    # positions of real edges inside the padded order
     posn = np.nonzero(order < E)[0]
     inv = np.zeros(E, np.int64)
     inv[order[posn]] = posn
     return order, jj_steps, inv
 
 
-def _plan_corr_order_jnp(jj, NF, E_pad):
-    """Device-side fallback of plan_corr_order (used when no host plan is
-    passed, e.g. unit tests): same outputs as jnp arrays."""
+def plan_corr_cells(jj, qy, qx, NF, E_pad):
+    """Device-side corr edge plan: edges sorted by (target frame,
+    supercell), where a supercell is a (YCELL x XCELL) = (16 row, 64
+    col) window-origin bin. Each SUPERCELL run is padded to a multiple
+    of CB with the sentinel index E, and each frame run to a multiple
+    of SUBTE -- so no CB-edge chunk ever straddles a supercell, which
+    makes the kernel's THB x TWB fast path exhaustive: within one
+    supercell, chunk-relative taps are bounded by YCELL + patch span
+    + D <= THB and XCELL + patch span + D <= TWB by construction.
+    Returns (order (E_pad,), jj_steps (E_pad//SUBTE,), inv (E,)).
+
+    If the supercell padding would overflow E_pad (corr_epad budgets
+    ~12.5%), the plan falls back to unpadded supercell runs -- chunk
+    locality degrades and spilling chunks take the exact kernel
+    fallback, but correctness never depends on the padding."""
     E = jj.shape[0]
-    order_real = jnp.argsort(jj, stable=True)
+    jj = jj.astype(jnp.int32)
+    NPF = NSY * NSX
+    sc = ((jj * NSY + jnp.clip(qy, 0, NSY - 1).astype(jnp.int32)) * NSX
+          + jnp.clip(qx, 0, NSX - 1).astype(jnp.int32))     # (E,)
+    order_real = jnp.argsort(sc, stable=True).astype(jnp.int32)
+    sc_s = jnp.take(sc, order_real)
     jj_s = jnp.take(jj, order_real)
-    counts = jnp.zeros(NF, jnp.int32).at[jj_s].add(1)
-    padded = -(counts % -SUBTE) + counts
-    base = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                            jnp.cumsum(padded)[:-1].astype(jnp.int32)])
+    counts = jnp.zeros(NF * NPF, jnp.int32).at[sc_s].add(1)
+    padded = counts - (counts % -CB)                        # ceil to CB
+    need = jnp.sum(-(jnp.sum(padded.reshape(NF, NPF), 1) % -SUBTE)
+                   + jnp.sum(padded.reshape(NF, NPF), 1))
+    padded = jnp.where(need <= E_pad, padded, counts)
+    fsum = jnp.sum(padded.reshape(NF, NPF), axis=1)
+    fpad = fsum - (fsum % -SUBTE)                           # ceil to SUBTE
+    frame_base = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                  jnp.cumsum(fpad)[:-1].astype(jnp.int32)])
+    ecs = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                           jnp.cumsum(padded)[:-1].astype(jnp.int32)])
+    ecs_f0 = jnp.take(ecs, jnp.arange(NF, dtype=jnp.int32) * NPF)
+    base_sc = (jnp.take(frame_base, jnp.arange(NF * NPF) // NPF)
+               + ecs - jnp.take(ecs_f0, jnp.arange(NF * NPF) // NPF))
     starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
                               jnp.cumsum(counts)[:-1].astype(jnp.int32)])
-    rank = jnp.arange(E, dtype=jnp.int32) - jnp.take(starts, jj_s)
-    pos = jnp.take(base, jj_s) + rank                       # (E,)
-    order = jnp.full((E_pad,), E, jnp.int32).at[pos].set(
-        order_real.astype(jnp.int32))
-    # frame id per sub-tile: scatter jj over padded runs, per-tile max
-    stepf = jnp.zeros((E_pad,), jnp.int32).at[pos].max(jj_s.astype(jnp.int32))
+    rank = jnp.arange(E, dtype=jnp.int32) - jnp.take(starts, sc_s)
+    pos = jnp.take(base_sc, sc_s) + rank                    # (E,)
+    order = jnp.full((E_pad,), E, jnp.int32).at[pos].set(order_real)
+    # frame id per sub-tile: scatter jj over the padded layout, per-tile
+    # max (supercell padding can leave all-pad sub-tiles mid-frame; they
+    # read frame 0, compute discarded zeros, and cost one extra fetch)
+    stepf = jnp.zeros((E_pad,), jnp.int32).at[pos].max(jj_s)
     jj_steps = jnp.max(stepf.reshape(E_pad // SUBTE, SUBTE), axis=1)
     inv = jnp.zeros((E,), jnp.int32).at[order_real].set(pos)
     return order, jj_steps, inv
 
 
 def padded_dims(H, W, radius=3):
-    """Padded frame-pyramid dims for the kernel: the frame is zero-padded
-    by D each side and rounded to sublane/lane tiles. Returns (Hp, Wpc);
-    the stored array is (NF, 4, C, Hp, Wpc): copy 0 holds the image at
-    [D:D+H, D:D+W], copies 1-3 are shifted by (0, XSHIFT cols),
-    (YSHIFT rows, 0) and (YSHIFT, XSHIFT) respectively (see pad_fmap)."""
+    """Padded frame dims for the kernel layout (Hp, C, 2*Wc): rows are
+    an OUTER dim (zero-padded by D each side, no alignment constraint);
+    each x copy is lane-padded so both the plain window span and the
+    64-shifted copy's largest band slice stay in bounds."""
     D = 2 * radius + 2
-    Hp = max(-(-(H + 2 * D) // 8) * 8, TH)
-    Wpc = max(-(-(W + 2 * D) // 128) * 128, TWB)
-    return Hp, Wpc
+    Hp = max(H + 2 * D, THB)
+    omax = ((W + D) // XCELL) * XCELL        # largest 64-aligned origin
+    need = W + 2 * D
+    if omax > 0:
+        need = max(need, omax + XCELL + TWB)
+    Wc = -(-need // 128) * 128
+    return Hp, Wc
 
 
 def pad_fmap(fmap, radius=3):
     """Zero-pad a (..., C, H, W) frame pyramid into the kernel layout
-    (..., 4, C, Hp, Wpc): copies shifted by (0/YSHIFT rows, 0/XSHIFT
-    cols) so any 4-row/64-col-aligned window origin is sublane/lane
-    aligned in one of them."""
+    (..., Hp, C, 2*Wc): rows outer, channels on the sublane axis (C must
+    be a multiple of 8 so the kernel's band reshape is free), and two
+    x copies on the lane axis with image origins at D and Wc + D + 64
+    (so every 64-aligned window origin is 128-aligned in one copy)."""
     H, W = fmap.shape[-2:]
     D = 2 * radius + 2
-    Hp, Wpc = padded_dims(H, W, radius)
-    pad = [(0, 0)] * (fmap.ndim - 2) + [(D, Hp + YSHIFT - H - D),
-                                        (D, Wpc + XSHIFT - W - D)]
-    fpadx = jnp.pad(fmap, pad)
-    return jnp.stack(
-        [fpadx[..., sy:sy + Hp, sx:sx + Wpc]
-         for sy in (0, YSHIFT) for sx in (0, XSHIFT)], axis=-4)
+    Hp, Wc = padded_dims(H, W, radius)
+    f = jnp.swapaxes(fmap, -3, -2)                          # (..., H, C, W)
+    lead = [(0, 0)] * (f.ndim - 3)
+    c0 = jnp.pad(f, lead + [(D, Hp - H - D), (0, 0), (D, Wc - W - D)])
+    c1 = jnp.pad(f, lead + [(D, Hp - H - D), (0, 0),
+                            (D + XCELL, Wc - W - D - XCELL)])
+    return jnp.concatenate([c0, c1], axis=-1)
 
 
 @partial(jax.jit, static_argnames=("radius", "E_pad_static", "H", "W"))
 def _corr_pallas_planned(gmap, fpad, coords, ii, jj, order, jj_steps, inv,
                          radius, E_pad_static, H, W):
-    """Run the v5 kernel given an edge-order plan. gmap (K, C, PP);
-    fpad (NF, 2, C, Hp, Wpc) pre-padded pyramid (pad_fmap);
+    """Run the v9 kernel given an edge-order plan. gmap (K, C, PP);
+    fpad (NF, Hp, C, 2*Wc) pre-padded pyramid (pad_fmap);
     coords (E, 2, P, P); H, W static unpadded dims."""
     K, C, PP = gmap.shape
     NF = fpad.shape[0]
@@ -382,9 +431,10 @@ def _corr_pallas_planned(gmap, fpad, coords, ii, jj, order, jj_steps, inv,
     P = int(np.sqrt(PP))
     D = 2 * radius + 2
     EP = E_pad_static
-    Hp, Wpc = padded_dims(H, W, radius)
-    TH_ = min(TH, Hp)
-    assert PP * D <= PPD2, "patch tap columns exceed the 128-lane tile"
+    Hp, Wc = padded_dims(H, W, radius)
+    THB_ = min(THB, Hp)
+    assert PP * D <= PPD2, "patch tap columns exceed the padded tile"
+    assert C % 8 == 0, "channels must tile the sublane axis"
 
     x = coords[:, 0].reshape(E, PP)
     y = coords[:, 1].reshape(E, PP)
@@ -393,44 +443,75 @@ def _corr_pallas_planned(gmap, fpad, coords, ii, jj, order, jj_steps, inv,
     fx = (x - jnp.floor(x)).astype(jnp.float32)
     fy = (y - jnp.floor(y)).astype(jnp.float32)
 
-    a4 = jnp.clip((jnp.min(iy0, axis=1) // YSHIFT) * YSHIFT,
-                  0, Hp + YSHIFT - TH_)
-    sy = (a4 % 8) // YSHIFT                                 # y copy index
-    ty = a4 - YSHIFT * sy                                   # 8-aligned
-    a64 = jnp.clip((jnp.min(ix0, axis=1) // XSHIFT) * XSHIFT,
-                   0, Wpc + XSHIFT - TWB)
-    sx = (a64 % TWB) // XSHIFT                              # x copy index
-    txb = a64 - XSHIFT * sx                                 # 128-aligned
-    s = 2 * sy + sx                                         # fcache view
-    ry = iy0 - a4[:, None]                                  # (E, PP)
-    rx = ix0 - a64[:, None]
-    oky = (jnp.all((ry >= 0) & (ry <= TH_ - D), axis=1)
-           & jnp.all((rx >= 0) & (rx <= TWB - D), axis=1)).astype(jnp.int32)
-    # COMPACT tap vectors (v7): PP columns padded to PPC with the -9
-    # sentinel (still negative after the kernel's +u offset, so the
-    # one-hot compares match nothing on pad columns); exact in bf16
+    # per-edge window origins: rows need no alignment (outer dim), cols
+    # quantized to the 64-px copy shift
+    ay_e = jnp.min(iy0, axis=1)                             # (E,)
+    ax_e = (jnp.min(ix0, axis=1) // XCELL) * XCELL
+    # COMPACT tap rows 0/1: taps relative to the EDGE's own origin --
+    # bounded by the window span + 64-col misalignment, exact in bf16;
+    # PP columns padded to PPC with the -9 sentinel (still negative
+    # after the kernel's +u offset, so the one-hot compares miss)
     padc = jnp.full((E, PPC - PP), -9, jnp.int32)
-    rxc = jnp.concatenate([rx, padc], axis=1)               # (E, PPC)
-    ryc = jnp.concatenate([ry, padc], axis=1)
-
-    ge = jnp.take(gmap, ii, axis=0, mode="clip")            # (E, C, PP)
-    ge = jnp.pad(ge, ((0, 0), (0, 0), (0, PPC - PP)))       # (E, C, PPC)
+    rxc = jnp.concatenate([ix0 - ax_e[:, None], padc], axis=1)  # (E, PPC)
+    ryc = jnp.concatenate([iy0 - ay_e[:, None], padc], axis=1)
 
     def reorder(a, fill=0):
         a_ext = jnp.concatenate(
             [a, jnp.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)
         return jnp.take(a_ext, order, axis=0, mode="clip")
 
+    # patch features: compose the ii-gather with the order-gather (one
+    # pass over the (K, C, PP) map instead of two over (E, C, PP))
+    ii_ext = jnp.concatenate([ii.astype(jnp.int32),
+                              jnp.full((1,), K, jnp.int32)])
+    ii_s = jnp.take(ii_ext, order, mode="clip")             # (EP,)
+    gmap_ext = jnp.concatenate([gmap, jnp.zeros((1, C, PP), gmap.dtype)])
+    ge_s = jnp.take(gmap_ext, ii_s, axis=0, mode="clip")    # (EP, C, PP)
+    ge_s = jnp.pad(ge_s, ((0, 0), (0, 0), (0, PPC - PP)))   # (EP, C, PPC)
+
+    # chunk band origins: elementwise min over each CB-edge chunk of the
+    # SORTED per-edge origins (pad edges carry +inf-like fills so they
+    # never drag the min)
+    ay_s = reorder(ay_e, fill=2 ** 20)
+    ax_s = reorder(ax_e, fill=2 ** 20)
+    omax = ((W + D) // XCELL) * XCELL
+    ty_c = jnp.clip(jnp.min(ay_s.reshape(EP // CB, CB), 1), 0, Hp - THB_)
+    ox_c = jnp.clip(jnp.min(ax_s.reshape(EP // CB, CB), 1), 0, omax)
+    # buffer column of the chunk band: 128-aligned origins slice copy 0,
+    # 64-misaligned ones slice copy 1 (image shifted +64 columns)
+    sx_c = (ox_c % 128) // XCELL
+    txb_c = jnp.where(sx_c == 1, Wc + ox_c + XCELL, ox_c)
+    # edge-origin -> chunk-origin deltas (rows 2/3 of the compact taps):
+    # y deltas are small row counts, x deltas multiples of 64 -- both
+    # exact in bf16 for any supported frame size
+    dy_s = ay_s - jnp.repeat(ty_c, CB)
+    dx_s = ax_s - jnp.repeat(ox_c, CB)
+    # fast-path test: ALL taps (+D window span) inside the shared chunk
+    # band; chunk-relative tap = (tap - edge origin) + (edge -> chunk
+    # delta), both components non-negative
+    ry_rel = reorder(iy0, fill=0) - reorder(ay_e, fill=0)[:, None] \
+        + dy_s[:, None]
+    rx_rel = reorder(ix0, fill=0) - reorder(ax_e, fill=0)[:, None] \
+        + dx_s[:, None]
+    oky_s = (jnp.all(ry_rel <= THB_ - D, axis=1)
+             & jnp.all(rx_rel <= TWB - D, axis=1)
+             & (order < E)) | (order >= E)
+    # the fallback runs per CHUNK (CB*PPD2 columns stay lane aligned)
+    okc = jnp.all(oky_s.reshape(EP // CB, CB), axis=1).astype(jnp.int32)
+
     nsteps = EP // TE
-    gec_s = reorder(ge).reshape(nsteps, TE, C, PPC)
+    fbs = jnp.sum(1 - okc.reshape(nsteps, TE // CB), axis=1).astype(jnp.int32)
+    gec_s = ge_s.reshape(nsteps, TE, C, PPC)
     gec_s = gec_s.transpose(0, 2, 1, 3).reshape(nsteps, C, TE * PPC)
     rxy_c = jnp.stack([rxc, ryc], axis=1).astype(gmap.dtype)  # (E, 2, PPC)
-    rxyc_s = reorder(rxy_c, fill=-9).reshape(nsteps, TE, 2, PPC)
-    rxyc_s = rxyc_s.transpose(0, 2, 1, 3).reshape(nsteps, 2, TE * PPC)
-    ty_s = reorder(ty)
-    txb_s = reorder(txb)
-    s_s = reorder(s)
-    oky_s = reorder(oky, fill=1)
+    rxy_s2 = reorder(rxy_c, fill=-9)                        # (EP, 2, PPC)
+    d_rows = jnp.stack(
+        [jnp.broadcast_to(dx_s[:, None], (EP, PPC)),
+         jnp.broadcast_to(dy_s[:, None], (EP, PPC))], axis=1
+    ).astype(gmap.dtype)                                    # (EP, 2, PPC)
+    rxyc_s = jnp.concatenate([rxy_s2, d_rows], axis=1)      # (EP, 4, PPC)
+    rxyc_s = rxyc_s.reshape(nsteps, TE, 4, PPC)
+    rxyc_s = rxyc_s.transpose(0, 2, 1, 3).reshape(nsteps, 4, TE * PPC)
 
     # block-diagonal expansion matrix (constant; fetched into VMEM once):
     # Xexp[(e, p), (e', (p', u))] = [e == e'] * [p == p']
@@ -446,17 +527,17 @@ def _corr_pallas_planned(gmap, fpad, coords, ii, jj, order, jj_steps, inv,
         in_specs=[
             pl.BlockSpec((1, C, TE * PPC), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, TE * PPC), lambda g, *_: (g, 0, 0),
+            pl.BlockSpec((1, 4, TE * PPC), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((XE_ * PPC, XE_ * PPD2), lambda g, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),           # frame pyramid
         ],
-        out_specs=pl.BlockSpec((1, TE * PPD2, D), lambda g, *_: (g, 0, 0),
+        out_specs=pl.BlockSpec((1, D, TE * PPD2), lambda g, *_: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((4, C, Hp, Wpc), fpad.dtype),
-            pltpu.VMEM((C * TH_, TE * PPD2), fpad.dtype),
+            pltpu.VMEM((Hp, C, 2 * Wc), fpad.dtype),
+            pltpu.VMEM((THB_ * C, TE * PPD2), fpad.dtype),
             pltpu.VMEM((TE * PPD2, TWB), fpad.dtype),
             pltpu.VMEM((C, TE * PPD2), fpad.dtype),
             pltpu.VMEM((2, TE * PPD2), jnp.int32),
@@ -466,24 +547,23 @@ def _corr_pallas_planned(gmap, fpad, coords, ii, jj, order, jj_steps, inv,
     )
     odt = gmap.dtype
     if _os.environ.get("CORR_ABL") == "no_kernel":
-        vol_s = (jnp.zeros((nsteps, TE * PPD2, D), odt)
+        vol_s = (jnp.zeros((nsteps, D, TE * PPD2), odt)
                  + gec_s[0, 0, 0].astype(jnp.float32)
-                 + ty_s[0] + txb_s[0] + s_s[0] + oky_s[0]
+                 + ty_c[0] + txb_c[0] + okc[0] + fbs[0]
                  + rxyc_s[0, 0, 0].astype(jnp.float32) + jj_steps[0])
     else:
         vol_s = pl.pallas_call(
-            partial(_corr_kernel_v7, C=C, PP=PP, D=D, Hp=Hp, Wpc=Wpc,
-                    TH_=TH_, XE_=XE_),
+            partial(_corr_kernel_v9, C=C, PP=PP, D=D, Hp=Hp, Wc=Wc,
+                    THB_=THB_, XE_=XE_),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((nsteps, TE * PPD2, D), odt),
+            out_shape=jax.ShapeDtypeStruct((nsteps, D, TE * PPD2), odt),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 1024 * 1024),
-        )(jj_steps.astype(jnp.int32), ty_s.astype(jnp.int32),
-          txb_s.astype(jnp.int32), s_s.astype(jnp.int32),
-          oky_s.astype(jnp.int32),
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(jj_steps.astype(jnp.int32), ty_c.astype(jnp.int32),
+          txb_c.astype(jnp.int32), okc, fbs,
           gec_s, rxyc_s, xexp, fpad)
 
-    vol_s = vol_s.reshape(EP, PPD2, D)
+    vol_s = vol_s.transpose(0, 2, 1).reshape(EP, PPD2, D)
     vol = jnp.take(vol_s[:, : PP * D], inv, axis=0)         # (E, PP*D, D)
     vol = vol.reshape(E, PP, D, D)                          # (e, p, u, v)
     # 4-tap bilinear blend (correlation_kernel.cu:221-232); vol axes here
@@ -499,14 +579,30 @@ def _corr_pallas_planned(gmap, fpad, coords, ii, jj, order, jj_steps, inv,
     return out[None]                                        # (1, E, Dx, Dy, P, P)
 
 
+def make_cell_plan(coords, jj, NF, E_pad, H, W, radius=3):
+    """Build the (order, jj_steps, inv) plan from reprojected coords:
+    quantized window-origin cells at the given level's resolution. Used
+    once per update and shared by both pyramid levels (the level-2 cells
+    are 4x coarser, so level-1 locality implies level-2 locality)."""
+    E = coords.shape[0]
+    D = 2 * radius + 2
+    x = coords[:, 0].reshape(E, -1)
+    y = coords[:, 1].reshape(E, -1)
+    ix0 = jnp.clip(jnp.floor(jnp.min(x, 1)).astype(jnp.int32) - radius + D,
+                   0, W + D)
+    iy0 = jnp.clip(jnp.floor(jnp.min(y, 1)).astype(jnp.int32) - radius + D,
+                   0, H + D)
+    return plan_corr_cells(jj, iy0 // YCELL, ix0 // XCELL, NF, E_pad)
+
+
 @partial(jax.jit, static_argnames=("radius", "H", "W"))
 def corr_pallas_padded(gmap, fpad, coords, ii, jj, H, W, radius: int = 3,
                        plan=None):
     """Pallas patch correlation on a PRE-PADDED frame pyramid.
 
-    gmap: (B, K, C, P, P); fpad: (B, NF, 4, C, Hp, Wpc) from pad_fmap
-    (maintained incrementally by the SLAM runtime so the pad + shift
-    copies are not rebuilt every call); coords (B, E, 2, P, P);
+    gmap: (B, K, C, P, P); fpad: (B, NF, Hp, C, 2*Wc) from pad_fmap
+    (maintained incrementally by the SLAM runtime so the pad is not
+    rebuilt every call); coords (B, E, 2, P, P);
     H, W: static unpadded frame dims.
     """
     B, K, C, P, _ = gmap.shape
@@ -515,7 +611,8 @@ def corr_pallas_padded(gmap, fpad, coords, ii, jj, H, W, radius: int = 3,
     E_pad = corr_epad(E, NF)
 
     if plan is None:
-        order, jj_steps, inv = _plan_corr_order_jnp(jj, NF, E_pad)
+        order, jj_steps, inv = make_cell_plan(
+            coords[0], jj.astype(jnp.int32), NF, E_pad, H, W, radius)
     else:
         order, jj_steps, inv = plan
     return _corr_pallas_planned(
@@ -530,8 +627,8 @@ def corr_pallas(gmap, fmap, coords, ii, jj, radius: int = 3,
     """Pallas patch correlation; same signature/result as ops.corr.
 
     gmap: (B, K, C, P, P); fmap: (B, NF, C, H, W); coords (B, E, 2, P, P).
-    ``plan``: optional (order, jj_steps, inv) from plan_corr_order (host);
-    computed on device when absent.
+    ``plan``: optional (order, jj_steps, inv) from plan_corr_cells /
+    plan_corr_order; computed on device from the coords when absent.
     """
     H, W = fmap.shape[-2:]
     return corr_pallas_padded(gmap, pad_fmap(fmap, radius), coords, ii, jj,

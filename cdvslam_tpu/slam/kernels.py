@@ -38,8 +38,10 @@ def corr_op(gmap, fmap, coords, ii, jj, radius=3, hw=None, plan=None):
         return corr_pallas(gmap, fmap, coords, ii, jj, radius=radius,
                            plan=plan)
     if hw is not None:
+        # unpad (B, NF, Hp, C, 2*Wc) back to (B, NF, C, H, W)
         D = 2 * radius + 2
-        fmap = fmap[:, :, 0, :, D:D + hw[0], D:D + hw[1]]
+        fmap = fmap[:, :, D:D + hw[0], :, D:D + hw[1]]
+        fmap = jnp.swapaxes(fmap, 2, 3)
     return _corr_xla(gmap, fmap, coords, ii, jj, radius=radius)
 
 
@@ -162,6 +164,17 @@ def update_body(
         corrf = (jnp.zeros((1, E, pdim), gmap_buf.dtype)
                  + coords_nchw[0, 0, 0, 0, 0].astype(gmap_buf.dtype))
     else:
+        if HW1 is not None and jax.default_backend() in ("tpu", "axon"):
+            # device cell plan from the CURRENT reprojected coords:
+            # sorts edges by (frame, y cell, x cell) so chunks of the
+            # corr kernel share band slices; shared by both levels
+            # (level-2 cells are 4x coarser). Replaces the host frame-
+            # only plan (packed rows 13-15), whose chunks share almost
+            # no cells
+            from ..ops.corr_pallas import corr_epad as _cepad, make_cell_plan
+            mem = fmap1.shape[0]
+            corr_plan = make_cell_plan(
+                coords_nchw[0], jjm, mem, _cepad(EPAD, mem), HW1[0], HW1[1])
         corrf = corr_features(gmap_buf, fmap1, fmap2, coords_nchw, gmap_idx,
                               jjm, hw1=HW1, hw2=HW2, plan=corr_plan)
     if "no_ctx" in _abl:

@@ -430,20 +430,18 @@ class SLAM:
                 imap_buf = jax.lax.dynamic_update_slice(imap_buf, ictx[0], (slot_p, 0))
                 gmap_buf = jax.lax.dynamic_update_slice(gmap_buf, gmap[0], (slot_p, 0, 0, 0))
                 # frame pyramids live pre-padded in the corr kernel
-                # layout (slot, copy, C, Hp, Wpc): 4 copies shifted by
-                # (0/4 rows, 0/64 cols) so any 4-row/64-col aligned band
-                # origin is sublane/lane aligned in one of them (copy
-                # index 2*sy + sx; image top-left at (8-4*sy, 8-64*sx))
+                # layout (slot, Hp, C, 2*Wc): rows OUTER (dynamic row
+                # bands need no alignment), channels on the sublane
+                # axis, and two x copies concatenated on the lane axis
+                # with image origins at D and Wc+D+64 (every 64-aligned
+                # window origin is 128-aligned in one of them)
                 def _wr(buf, f):
-                    for c, (ro, src) in enumerate(
-                            [(8, f), (8, f[:, :, 56:]),
-                             (4, f), (4, f[:, :, 56:])]):
-                        if src.shape[-1] == 0:
-                            continue
-                        co = 8 if c % 2 == 0 else 0
-                        buf = jax.lax.dynamic_update_slice(
-                            buf, src[None, None], (n % mem, c, 0, ro, co))
-                    return buf
+                    ft = jnp.swapaxes(f, 0, 1)[None]        # (1, H, C, W)
+                    Wc = buf.shape[-1] // 2
+                    buf = jax.lax.dynamic_update_slice(
+                        buf, ft, (n % mem, 8, 0, 8))
+                    return jax.lax.dynamic_update_slice(
+                        buf, ft, (n % mem, 8, 0, Wc + 8 + 64))
                 f1buf = _wr(f1buf, f1)
                 f2buf = _wr(f2buf, f2)
                 colors_buf = colors_buf.at[n].set(clr[0].astype(colors_buf.dtype))

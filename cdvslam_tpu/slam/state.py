@@ -52,13 +52,14 @@ class PatchGraph:
         self.imap_ = jnp.zeros((pmem * M, DIM), fdtype)
         self.gmap_ = jnp.zeros((pmem * M, DIMF, P, P), fdtype)
         # frame pyramids are stored PRE-PADDED in the corr kernel layout
-        # (zero border + lane-tile rounding + 64 shifted-view columns), so
-        # the pad + shift copies are not rebuilt on every corr call
+        # (rows OUTER / channels sublane, zero border, two 64-shifted x
+        # copies on the lane axis), so the pad + shift copies are not
+        # rebuilt on every corr call
         from ..ops.corr_pallas import padded_dims
-        Hp1, Wp1 = padded_dims(ht4, wd4)
-        Hp2, Wp2 = padded_dims(ht4 // 4, wd4 // 4)
-        self.fmap1_ = jnp.zeros((mem, 4, DIMF, Hp1, Wp1), fdtype)
-        self.fmap2_ = jnp.zeros((mem, 4, DIMF, Hp2, Wp2), fdtype)
+        Hp1, Wc1 = padded_dims(ht4, wd4)
+        Hp2, Wc2 = padded_dims(ht4 // 4, wd4 // 4)
+        self.fmap1_ = jnp.zeros((mem, Hp1, DIMF, 2 * Wc1), fdtype)
+        self.fmap2_ = jnp.zeros((mem, Hp2, DIMF, 2 * Wc2), fdtype)
 
         # host edge lists (active)
         self.ii = np.zeros(0, np.int64)

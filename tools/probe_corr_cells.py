@@ -19,7 +19,7 @@ def main():
     from cdvslam_tpu.config import get_cfg
     from cdvslam_tpu.geom import transform
     from cdvslam_tpu.lie import SE3
-    from cdvslam_tpu.ops.corr_pallas import padded_dims, TH, TWB, SUBTE
+    from cdvslam_tpu.ops.corr_pallas import padded_dims, THB as TH, TWB, SUBTE
     from cdvslam_tpu.slam import SLAM
 
     ht, wd = 480, 752
