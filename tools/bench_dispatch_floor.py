@@ -144,7 +144,8 @@ def main():
 
     # variant: ONE small buffer in/out
     ps = jax.jit(lambda x: x + x[0] * 1e-6, donate_argnums=(0,))
-    s = args[3]  # poses (N,7)
+    import jax.numpy as jnp
+    s = jnp.zeros((4096, 7), jnp.float32)  # poses-sized (args[3] was donated away)
     s = ps(s)
     jax.block_until_ready(s)
     t0 = time.perf_counter()
