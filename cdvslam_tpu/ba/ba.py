@@ -135,6 +135,32 @@ def _validity(r, x1, y1, Z, cx, cy, params: BAParams, bounds):
     return inb
 
 
+def build_edge_lattice(kk_local, mask, K, E_pad, L=None):
+    """Host-side (numpy) per-patch edge lattice for assembly='lattice'.
+
+    Returns (K, L) int32: row k lists the edge indices whose patch is k
+    (masked-in edges only); empty slots hold the sentinel E_pad, which
+    indexes an appended zero row on device. L defaults to the max
+    per-patch edge count rounded up to a multiple of 4 (static bucket).
+    """
+    import numpy as np
+    kk_local = np.asarray(kk_local)
+    mask = np.asarray(mask, bool)
+    sel = np.nonzero(mask & (kk_local >= 0) & (kk_local < K))[0]
+    ks = kk_local[sel]
+    order = np.argsort(ks, kind="stable")
+    ks_s = ks[order]
+    cnt = np.bincount(ks_s, minlength=K)
+    Lmax = int(cnt.max()) if len(ks_s) else 1
+    if L is None:
+        L = max(-(-Lmax // 4) * 4, 4)
+    assert Lmax <= L, f"lattice overflow: {Lmax} > {L}"
+    pos = np.arange(len(ks_s)) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    lat = np.full((K, L), E_pad, np.int64)
+    lat[ks_s, pos] = sel[order]
+    return lat.astype(np.int32)
+
+
 @partial(jax.jit, static_argnames=("N", "K", "iterations", "params",
                                    "structure_only", "use_bounds", "assembly"))
 def ba_solve(
@@ -156,7 +182,8 @@ def ba_solve(
     structure_only: bool = False,
     use_bounds: bool = False,
     bounds=None,               # (4,) array if use_bounds
-    assembly: str = "scatter",  # 'scatter' | 'onehot'
+    assembly: str = "scatter",  # 'scatter' | 'onehot' | 'lattice'
+    lattice=None,              # (K, L) int32, required for 'lattice'
 ):
     """Damped Gauss-Newton over window poses + patch inverse depths.
 
@@ -167,8 +194,13 @@ def ba_solve(
     serialized per-row scatter on TPU, ~4 ms/GN iteration at E=12k);
     'onehot' assembles the same sums as 0/1-matrix matmuls on the MXU
     (2.9x faster) at the cost of f32 reassociation noise (~1e-5
-    relative). The steady-state 2-iteration local window is well
-    conditioned and tolerates that noise; the 12x initialization /
+    relative) and heavy HBM traffic (the (K, 2E) one-hots read ~5 GB
+    per 2-iteration solve at K=2688, E=10k, N=16); 'lattice' replaces
+    the depth-side one-hots with a host-built per-patch edge lattice
+    (build_edge_lattice): C/u/E become fixed-shape gathers + short
+    ordered sums, keeping only the small B/v one-hot matmuls.
+    The steady-state 2-iteration local window is well conditioned and
+    tolerates the reassociation noise; the 12x initialization /
     termination / global solves are NOT (a 1e-5 Hessian perturbation
     there measurably changed the trajectory and broke loop-closure
     quality, see commit cd39a1f) -- keep those on 'scatter'.
@@ -177,7 +209,7 @@ def ba_solve(
     dtype = poses.dtype
     E = ii.shape[0]
 
-    if assembly == "onehot":
+    if assembly in ("onehot", "lattice"):
         # one-hot scatter matrices, built ONCE per solve (edge indices are
         # iteration-invariant) and reused by every GN iteration
         ixh = ii - t0
@@ -199,10 +231,6 @@ def ba_solve(
             jnp.concatenate([bidh(ixh, ixh, vih, vih), bidh(jxh, jxh, vjh, vjh),
                              bidh(ixh, jxh, vih, vjh), bidh(jxh, ixh, vjh, vih)]),
             N * N)                                            # (N*N, 4E)
-        oh_k = onehot(jnp.where(mask, kidh, K), K)            # (K, E)
-        kid2 = jnp.concatenate([jnp.where(vih & mask, kidh, K),
-                                jnp.where(vjh & mask, kidh, K)])
-        oh_k2 = onehot(kid2, K)                               # (K, 2E)
         ix2 = jnp.concatenate(
             [jnp.where(vih & mask, jnp.clip(ixh, 0, N - 1), N),
              jnp.where(vjh & mask, jnp.clip(jxh, 0, N - 1), N)])
@@ -211,6 +239,35 @@ def ba_solve(
         def ohsum(oh, vals):
             return jax.lax.dot_general(oh, vals, (((1,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32)
+
+    if assembly == "onehot":
+        oh_k = onehot(jnp.where(mask, kidh, K), K)            # (K, E)
+        kid2 = jnp.concatenate([jnp.where(vih & mask, kidh, K),
+                                jnp.where(vjh & mask, kidh, K)])
+        oh_k2 = onehot(kid2, K)                               # (K, 2E)
+    elif assembly == "lattice":
+        # per-patch edge lattice (host-built, see build_edge_lattice):
+        # the depth-side sums C/u/E become fixed-shape gathers + small
+        # reductions instead of (K, E)/(K, 2E) one-hot matmuls, which at
+        # E=10k, K=2688, N=16 read ~5 GB of HBM per 2-iteration solve.
+        # Sentinel E indexes an appended zero row.
+        assert lattice is not None, "assembly='lattice' needs a lattice"
+        lat = lattice.astype(jnp.int32)                       # (K, L)
+        # per-slot local pose index in [0, N]; N marks invalid (fixed
+        # pose / masked edge / empty slot) -- iteration-invariant
+        pixh = jnp.concatenate(
+            [jnp.where(vih & mask, jnp.clip(ixh, 0, N - 1), N),
+             jnp.full((1,), N, jnp.int32)])
+        pjxh = jnp.concatenate(
+            [jnp.where(vjh & mask, jnp.clip(jxh, 0, N - 1), N),
+             jnp.full((1,), N, jnp.int32)])
+        lat_pi = jnp.take(pixh, lat, mode="clip")             # (K, L)
+        lat_pj = jnp.take(pjxh, lat, mode="clip")
+
+        def latsum(vals):
+            """Per-patch sum of a per-edge vector: (E,) -> (K,)."""
+            ext = jnp.concatenate([vals, jnp.zeros((1,), vals.dtype)])
+            return jnp.sum(jnp.take(ext, lat, mode="clip"), axis=1)
 
     def one_iteration(carry, _):
         poses, patches = carry
@@ -251,21 +308,36 @@ def ba_solve(
         vi_vec = -jnp.einsum("er,eri->ei", w * r, Ji, preferred_element_type=jnp.float32)
         vj_vec = jnp.einsum("er,eri->ei", w * r, Jj, preferred_element_type=jnp.float32)
 
-        if assembly == "onehot":
+        if assembly in ("onehot", "lattice"):
             Bflat = ohsum(
                 oh_b,
                 jnp.concatenate([Bii, Bjj, Bij, jnp.swapaxes(Bij, 1, 2)],
                                 0).reshape(4 * E, 36),
             ).reshape(N * N, 6, 6)
             B = Bflat.reshape(N, N, 6, 6).transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
-            eij = jnp.concatenate([ei, ej], 0)                # (2E, 6)
-            Emat = jnp.stack([
-                ohsum(oh_k2, jnp.where((ix2 == n)[:, None], eij, 0.0))
-                for n in range(N)
-            ])                                                # (N, K, 6)
-            C = ohsum(oh_k, (jnp.sum(w * Jz * Jz, -1))[:, None])[:, 0]
-            u = ohsum(oh_k, (jnp.sum(w * r * Jz, -1))[:, None])[:, 0]
             v = ohsum(oh_v, jnp.concatenate([vi_vec, vj_vec], 0)).reshape(6 * N)
+            if assembly == "lattice":
+                C = latsum(jnp.sum(w * Jz * Jz, -1))
+                u = latsum(jnp.sum(w * r * Jz, -1))
+                z6 = jnp.zeros((1, 6), jnp.float32)
+                lat_ei = jnp.take(jnp.concatenate([ei, z6]), lat,
+                                  axis=0, mode="clip")        # (K, L, 6)
+                lat_ej = jnp.take(jnp.concatenate([ej, z6]), lat,
+                                  axis=0, mode="clip")
+                # invalid slots have lat_p* == N, matching no n below
+                Emat = jnp.stack([
+                    jnp.sum(jnp.where((lat_pi == n)[..., None], lat_ei, 0.0), 1)
+                    + jnp.sum(jnp.where((lat_pj == n)[..., None], lat_ej, 0.0), 1)
+                    for n in range(N)
+                ])                                            # (N, K, 6)
+            else:
+                eij = jnp.concatenate([ei, ej], 0)            # (2E, 6)
+                Emat = jnp.stack([
+                    ohsum(oh_k2, jnp.where((ix2 == n)[:, None], eij, 0.0))
+                    for n in range(N)
+                ])                                            # (N, K, 6)
+                C = ohsum(oh_k, (jnp.sum(w * Jz * Jz, -1))[:, None])[:, 0]
+                u = ohsum(oh_k, (jnp.sum(w * r * Jz, -1))[:, None])[:, 0]
         else:
             Bflat = jax.ops.segment_sum(
                 jnp.concatenate([Bii, Bjj, Bij, jnp.swapaxes(Bij, 1, 2)], 0),
@@ -338,7 +410,9 @@ def ba_solve(
             # reference ba.py:179
             d_new = jnp.clip(d_new, 1e-3, 10.0)
         # only update patches actually touched by valid edges
-        if assembly == "onehot":
+        if assembly == "lattice":
+            touched = latsum(mask.astype(jnp.float32)) > 0
+        elif assembly == "onehot":
             touched = ohsum(oh_k, mask.astype(jnp.float32)[:, None])[:, 0] > 0
         else:
             touched = jax.ops.segment_sum(

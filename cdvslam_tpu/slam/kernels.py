@@ -96,7 +96,8 @@ def update_body(
     res: int = 4,
     HW1=None,                   # static (H, W) of fmap1 when pre-padded
     HW2=None,
-    ba_assembly: str = "scatter",  # steady-state fused path uses 'onehot'
+    ba_assembly: str = "scatter",  # steady-state fused path uses 'lattice'
+    LAT_L: int = 0,             # per-patch edge-lattice width (0 = absent)
 ):
     """One fully-fused SLAM update. Slices the patch window and per-edge
     state out of the full (donated) buffers, runs
@@ -105,9 +106,18 @@ def update_body(
     costs ~25 ms through the remote-device transport)."""
     # unpack the edge index matrix (single FLAT int16 host upload per
     # update -- the transport penalizes multi-dim payloads); rows are
-    # EP2 >= EPAD wide when the host corr plan rides along (rows 13-15)
+    # EP2 >= EPAD wide when the host corr plan rides along (rows 13-15);
+    # rows 16+ carry the per-patch edge lattice when LAT_L > 0
+    lattice = None
     if packed.ndim == 1:
-        packed = packed.reshape(16, -1).astype(jnp.int32)
+        if LAT_L:
+            from ..ops.corr_pallas import corr_epad as _cepad2
+            EP2u = _cepad2(EPAD, fmap1.shape[0])
+            packed = packed.reshape(-1, EP2u).astype(jnp.int32)
+            lattice = packed[16:].reshape(-1)[: KWIN * LAT_L]
+            lattice = lattice.reshape(KWIN, LAT_L)
+        else:
+            packed = packed.reshape(16, -1).astype(jnp.int32)
     ii, jj, kk_local, ctx_idx, jjm, a_ix, a_jx, a_kseg, a_gseg, a_perm, \
         a_inv, a_mask, a_gather = [packed[i, :EPAD] for i in range(13)]
     corr_plan = None
@@ -220,7 +230,9 @@ def update_body(
             poses, patches_win, intr_full[0], target, w[0],
             ii, jj, kk_local, aux.mask, t0,
             N=NW, K=KWIN, iterations=iterations, params=INFERENCE_PARAMS,
-            assembly=ba_assembly,
+            assembly=ba_assembly if (ba_assembly != "lattice"
+                                     or lattice is not None) else "onehot",
+            lattice=lattice,
         )
     else:
         poses = poses + target[0, 0] * 0
@@ -263,7 +275,7 @@ def update_body(
 
 update_step = partial(
     jax.jit,
-    static_argnames=("model", "NW", "KWIN", "EPAD", "GROUP_M", "iterations", "is_cdv", "res", "HW1", "HW2", "ba_assembly"),
+    static_argnames=("model", "NW", "KWIN", "EPAD", "GROUP_M", "iterations", "is_cdv", "res", "HW1", "HW2", "ba_assembly", "LAT_L"),
     donate_argnums=(2, 3, 9, 10, 11),
 )(update_body)
 

@@ -485,7 +485,7 @@ class SLAM:
         @partial(
             jax.jit,
             static_argnames=("NW", "KWIN", "EPAD", "GROUP_M", "iterations",
-                             "is_cdv", "HW1", "HW2", "shift_span"),
+                             "is_cdv", "HW1", "HW2", "shift_span", "LAT_L"),
             donate_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 17, 18, 19),
         )
         def fused_fn(params, image_u8, seed, poses, patches_buf, intr_buf,
@@ -495,7 +495,7 @@ class SLAM:
                      t0, k0, net_valid, ht4, wd4, mm_i, mm_j,
                      shift_k, shift_np, *,
                      NW, KWIN, EPAD, GROUP_M, iterations, is_cdv,
-                     HW1, HW2, shift_span=0):
+                     HW1, HW2, shift_span=0, LAT_L=0):
             # deferred keyframe removal rides this dispatch; shift_span is
             # STATIC (the host knows the removal span at dispatch time),
             # so the shift is SPAN fixed-shape slice copies -- a
@@ -530,9 +530,10 @@ class SLAM:
                 return (poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf,
                         f2buf, colors_buf, seg_buf, scale_buf, score_buf,
                         net_full, target_full, weight_full, mm, dP)
-            # steady-state local BA tolerates the one-hot assembly's f32
-            # reassociation (2.9x faster); init/termination/global solves
-            # go through update_step and stay on 'scatter' (see ba_solve)
+            # steady-state local BA uses the per-patch lattice assembly
+            # (gathers + short ordered sums; no (K, 2E) one-hot HBM
+            # traffic); init/termination/global solves go through
+            # update_step and stay on 'scatter' (see ba_solve)
             (poses, patches_buf, net_full, target_full, weight_full, _dn,
              mm) = update_body(
                 params, model, poses, patches_buf, intr_buf, imap_buf,
@@ -541,7 +542,9 @@ class SLAM:
                 mm_i, mm_j,
                 NW=NW, KWIN=KWIN, EPAD=EPAD, GROUP_M=GROUP_M,
                 iterations=iterations, is_cdv=is_cdv, HW1=HW1, HW2=HW2,
-                ba_assembly=_os.environ.get("BA_ASSEMBLY", "onehot"))
+                ba_assembly=_os.environ.get(
+                    "BA_ASSEMBLY", "lattice" if LAT_L else "onehot"),
+                LAT_L=LAT_L)
             return (poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf,
                     f2buf, colors_buf, seg_buf, scale_buf, score_buf,
                     net_full, target_full, weight_full, mm, dP)
@@ -567,7 +570,8 @@ class SLAM:
             E = pg.E
             E_pad = pg.bucket(E)
             pg._grow(E_pad)
-            k0, KWIN, packed = self._prepare_update(pg.ii, pg.jj, pg.kk, E_pad)
+            k0, KWIN, packed, lat_l = self._prepare_update(
+                pg.ii, pg.jj, pg.kk, E_pad)
         t0 = max(pg.n - cfg.OPTIMIZATION_WINDOW, 1)
 
         long_range = bool((pg.ii < pg.n - cfg.REMOVAL_WINDOW - 1).any()) \
@@ -617,7 +621,7 @@ class SLAM:
                 GROUP_M=self.M if self.is_cdv else 0,
                 iterations=ba_iters, is_cdv=self.is_cdv,
                 HW1=self._hw1, HW2=self._hw2,
-                shift_span=shift_span,
+                shift_span=shift_span, LAT_L=lat_l,
             )
         pd = getattr(self, "_pending_delta", None)
         if pd is not None:
@@ -729,7 +733,8 @@ class SLAM:
                    rel.tobytes())
         cached = self._prep_cache.get(key) if key is not None else None
         if cached is not None and getattr(pg, "_pending_gather", None) is None:
-            packed = cached.copy()                  # int16; variant rows
+            packed, lat_l = cached                  # int16; variant rows
+            packed = packed.copy()
             EP2 = packed.shape[1]                   # are bounded << 2^15
             packed[0, :E_pad] = padi(ii)
             packed[1, :E_pad] = padi(jj)
@@ -740,11 +745,10 @@ class SLAM:
             from ..ops.corr_pallas import SUBTE
             order = packed[13].astype(np.int64)
             jjm_ext = np.concatenate([jjm_pad, [-1]])
-            vals = jjm_ext[np.minimum(order, E_pad)]
             packed[15, : EP2 // SUBTE] = np.maximum(
-                vals.reshape(-1, SUBTE).max(1), 0)
+                jjm_ext[np.minimum(order, E_pad)].reshape(-1, SUBTE).max(1), 0)
             packed[15, EP2 // SUBTE:] = 0
-            return k0, KWIN, jax.device_put(packed.reshape(-1))
+            return k0, KWIN, jax.device_put(packed.reshape(-1)), lat_l
 
         aux = build_update_aux(
             ii, jj, kk, k0, KWIN,
@@ -782,21 +786,41 @@ class SLAM:
             np.asarray(aux.mask).astype(np.int64),
             gather,
         ])
-        packed = np.zeros((16, EP2), np.int64)
+        # rows 16+: per-patch edge lattice for the BA 'lattice' assembly
+        # (fixed-shape gathers replace (K, 2E) one-hot matmuls, ~5 GB of
+        # HBM traffic per steady-state solve); sentinel = E_pad
+        from ..ba.ba import build_edge_lattice
+        lat = build_edge_lattice(
+            np.asarray(kk, np.int64) - k0, np.ones(E, bool), KWIN, E_pad)
+        lat_l = lat.shape[1]
+        nlr = -(-(KWIN * lat_l) // EP2)
+        lat_flat = np.full(nlr * EP2, E_pad, np.int64)
+        lat_flat[: KWIN * lat_l] = lat.reshape(-1)
+
+        packed = np.zeros((16 + nlr, EP2), np.int64)
         packed[:13, :E_pad] = rows13
         packed[13] = order
         packed[14, :E_pad] = inv
         packed[15, : jj_steps.shape[0]] = jj_steps
+        packed[16:] = lat_flat.reshape(nlr, EP2)
         # FLAT int16 upload: the remote transport pays a large layout /
         # size penalty on multi-dim payloads; all packed values fit i16
         assert packed.max() < 32767 and packed.min() >= -32768
         if key is not None and pend is None:
             if len(self._prep_cache) > 4 * self.mem:
                 self._prep_cache.pop(next(iter(self._prep_cache)))
-            self._prep_cache[key] = packed.astype(np.int16)
+            self._prep_cache[key] = (packed.astype(np.int16), lat_l)
         # device_put keeps the host->device copy asynchronous so it
         # overlaps the previous frame's device work
-        return k0, KWIN, jax.device_put(packed.astype(np.int16).reshape(-1))
+        return (k0, KWIN, jax.device_put(packed.astype(np.int16).reshape(-1)),
+                lat_l)
+
+    def _packed_rows16(self, packed, E_pad):
+        """Host view of the first 16 rows of a flat packed upload (the
+        index rows; lattice rows 16+ are device-only)."""
+        from ..ops.corr_pallas import corr_epad
+        EP2 = corr_epad(E_pad, self.mem)
+        return np.asarray(packed).reshape(-1, EP2)[:16, :E_pad].astype(np.int64)
 
     def _patch_window(self, k0, KWIN=None):
         KWIN = KWIN or self.KWIN
@@ -813,7 +837,8 @@ class SLAM:
             return
         E_pad = pg.bucket(E)
         pg._grow(E_pad)
-        k0, KWIN, packed = self._prepare_update(pg.ii, pg.jj, pg.kk, E_pad)
+        k0, KWIN, packed, lat_l = self._prepare_update(
+            pg.ii, pg.jj, pg.kk, E_pad)
         t0 = max(pg.n - self.cfg.OPTIMIZATION_WINDOW, 1) if self.is_initialized else 1
 
         # long-range (loop closure) edges present -> global BA this round
@@ -840,7 +865,7 @@ class SLAM:
         mj = pg.n - self.cfg.KEYFRAME_INDEX + 1
         if self.update_override is not None:
             from ..models.update import UpdateAux
-            pk = np.asarray(packed).reshape(16, -1)[:, :E_pad].astype(np.int64)
+            pk = self._packed_rows16(packed, E_pad)
             aux = UpdateAux(
                 ix=jnp.asarray(pk[5]), jx=jnp.asarray(pk[6]),
                 kseg=jnp.asarray(pk[7]), gseg=jnp.asarray(pk[8]),
@@ -1011,10 +1036,10 @@ class SLAM:
         jj = np.full(M, n)
         ii = kk // M
         E_pad = pg.bucket(M)
-        k0, KWIN, packed = self._prepare_update(ii, jj, kk, E_pad)
+        k0, KWIN, packed, lat_l = self._prepare_update(ii, jj, kk, E_pad)
 
         if self.update_override is not None:
-            pk = np.asarray(packed).reshape(16, -1)[:, :E_pad].astype(np.int64)
+            pk = self._packed_rows16(packed, E_pad)
             ii_p, jj_p, kkl = [jnp.asarray(pk[i]) for i in (0, 1, 2)]
             patches_win, k0 = self._patch_window(k0, KWIN)
             coords = transform(
@@ -1060,8 +1085,8 @@ class SLAM:
             return 0.0
         ii, jj, kk = pg.ii[sel], pg.jj[sel], pg.kk[sel]
         E_pad = pg.bucket(len(ii))
-        k0, KWIN, packed = self._prepare_update(ii, jj, kk, E_pad)
-        pk = np.asarray(packed).reshape(16, -1)[:, :E_pad].astype(np.int64)
+        k0, KWIN, packed, _lat_l = self._prepare_update(ii, jj, kk, E_pad)
+        pk = self._packed_rows16(packed, E_pad)
         patches_win, k0 = self._patch_window(k0, KWIN)
         m = motionmag(pg.poses_, patches_win, pg.intrinsics_,
                       jnp.asarray(pk[0]), jnp.asarray(pk[1]), jnp.asarray(pk[2]),

@@ -156,3 +156,46 @@ def test_onehot_assembly_matches_scatter():
     np.testing.assert_allclose(np.asarray(d_o[:, 2, 1, 1]),
                                np.asarray(d_s[:, 2, 1, 1]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_lattice_assembly_matches_scatter():
+    """The per-patch edge-lattice assembly used by the steady-state fused
+    path (gathers + small ordered sums for C/u/E; one-hot matmuls only
+    for the small B/v) must agree with segment_sum, including masked
+    padding edges and fixed poses."""
+    from cdvslam_tpu.ba.ba import build_edge_lattice
+
+    gt_poses, patches, intr, target, ii, jj, kk = _synth(seed=8)
+    K = patches.shape[0]
+    rng = np.random.RandomState(9)
+    xi = 0.02 * rng.randn(6, 6).astype(np.float32)
+    xi[0] = 0
+    poses0 = SE3.exp(jnp.asarray(xi)).mul(SE3(gt_poses.data[0])).data
+    pert = patches.at[:, 2].add(
+        jnp.asarray(0.2 * rng.randn(K).astype(np.float32))[:, None, None])
+    pert = pert.at[:, 2].set(jnp.clip(pert[:, 2], 0.05, None))
+    E = len(ii)
+    pad = 7
+    E_pad = E + pad
+    ii2 = np.concatenate([np.asarray(ii), np.zeros(pad, np.int64)])
+    jj2 = np.concatenate([np.asarray(jj), np.ones(pad, np.int64)])
+    kk2 = np.concatenate([np.asarray(kk), np.zeros(pad, np.int64)])
+    target2 = jnp.concatenate([target, 1e6 * jnp.ones((pad, 2))])
+    weight = jnp.asarray(
+        np.concatenate([rng.uniform(0.2, 1.0, (E, 2)),
+                        77.0 * np.ones((pad, 2))]), jnp.float32)
+    mask = np.concatenate([rng.rand(E) > 0.1, np.zeros(pad, bool)])
+
+    lat = build_edge_lattice(kk2, mask, K, E_pad)
+    kw = dict(N=5, K=K, iterations=2)
+    args = (poses0, pert, intr, target2, weight,
+            jnp.asarray(ii2, jnp.int32), jnp.asarray(jj2, jnp.int32),
+            jnp.asarray(kk2, jnp.int32), jnp.asarray(mask), 1)
+    p_s, d_s = ba_solve(*args, assembly="scatter", **kw)
+    p_l, d_l = ba_solve(*args, assembly="lattice", lattice=jnp.asarray(lat),
+                        **kw)
+    np.testing.assert_allclose(np.asarray(p_l), np.asarray(p_s),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(d_l[:, 2, 1, 1]),
+                               np.asarray(d_s[:, 2, 1, 1]),
+                               rtol=2e-4, atol=2e-4)

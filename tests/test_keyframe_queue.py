@@ -99,14 +99,14 @@ def test_deferred_compaction_defers_device_work():
     # the pending gather is consumed into the next packed upload (row 12)
     E_pad = pg.bucket(pg.E)
     pg._grow(E_pad)
-    _, _, packed = slam._prepare_update(pg.ii, pg.jj, pg.kk, E_pad)
-    g = np.asarray(packed).reshape(16, -1)[12]
+    _, _, packed, _ = slam._prepare_update(pg.ii, pg.jj, pg.kk, E_pad)
+    g = slam._packed_rows16(packed, E_pad)[12]
     np.testing.assert_array_equal(g[:nkeep], keep)
     assert pg._pending_gather is None
     # without a pending compaction the gather row is identity
-    _, _, packed2 = slam._prepare_update(pg.ii, pg.jj, pg.kk, E_pad)
+    _, _, packed2, _ = slam._prepare_update(pg.ii, pg.jj, pg.kk, E_pad)
     np.testing.assert_array_equal(
-        np.asarray(packed2).reshape(16, -1)[12, :E_pad], np.arange(E_pad))
+        slam._packed_rows16(packed2, E_pad)[12, :E_pad], np.arange(E_pad))
 
 
 def test_queue_drain_at_terminate_applies_decisions():
@@ -176,10 +176,9 @@ def test_prepare_update_packed_plan_rows():
     jj = rng.randint(0, 6, E)
     kk = ii * 4 + rng.randint(0, 4, E)
     E_pad = slam.pg.bucket(E)
-    k0, KWIN, packed = slam._prepare_update(ii, jj, kk, E_pad)
-    pk = np.asarray(packed).reshape(16, -1)
+    k0, KWIN, packed, _ = slam._prepare_update(ii, jj, kk, E_pad)
     EP2 = corr_epad(E_pad, slam.mem)
-    assert pk.shape == (16, EP2)
+    pk = np.asarray(packed).reshape(-1, EP2)[:16]
     jjm_pad = np.concatenate([jj % slam.mem, np.zeros(E_pad - E, np.int64)])
     order, jj_steps, inv = plan_corr_order(jjm_pad, slam.mem, EP2)
     np.testing.assert_array_equal(pk[13], order)
@@ -228,7 +227,7 @@ def test_prepare_update_cache_matches_fresh_across_wrap():
                 # warm run: later bases hit the cache entries built from
                 # the SAME phase one ring-cycle earlier
                 pass
-            k0, KWIN, packed = slam._prepare_update(ii, jj, kk, E_pad)
+            k0, KWIN, packed, _ = slam._prepare_update(ii, jj, kk, E_pad)
             packs.append((k0, KWIN, np.asarray(packed)))
         outs[mode] = packs
     for (k0a, ka, pa), (k0b, kb, pb) in zip(outs["cold"], outs["warm"]):
