@@ -58,31 +58,53 @@ def main():
     jax.block_until_ready(slam.pg.poses_)
 
     # steady-state throughput: the loop is pipelined (async dispatch +
-    # one-frame upload prefetch), so block once at the end of each window
+    # one-frame upload prefetch), so block once at the end of each window.
+    # A window-level fault (kernel/transport) must not erase the metric:
+    # report the windows that completed, plus an "error" field.
     fps_windows = []
+    error = None
     fidx = WARM
     for w in range(NWIN):
-        slam.prefetch(frames[fidx % len(frames)])
-        t0 = time.perf_counter()
-        for f in range(fidx, fidx + WIN):
-            img = frames[f % len(frames)]
-            slam.prefetch(frames[(f + 1) % len(frames)])
-            slam(f, img, intr)
-        jax.block_until_ready(slam.pg.poses_)
-        dt = time.perf_counter() - t0
-        fps_windows.append(WIN / dt)
+        try:
+            slam.prefetch(frames[fidx % len(frames)])
+            t0 = time.perf_counter()
+            for f in range(fidx, fidx + WIN):
+                img = frames[f % len(frames)]
+                slam.prefetch(frames[(f + 1) % len(frames)])
+                slam(f, img, intr)
+            jax.block_until_ready(slam.pg.poses_)
+            dt = time.perf_counter() - t0
+            fps_windows.append(WIN / dt)
+        except Exception as e:  # noqa: BLE001 -- emit partial results
+            error = f"window {w}: {type(e).__name__}: {e}"
+            print(f"bench window {w} failed: {e}", file=sys.stderr)
+            break
         fidx += WIN
     print(f"bench windows (fps): "
           f"{', '.join(f'{x:.2f}' for x in fps_windows)}", file=sys.stderr)
 
-    fps = float(np.median(fps_windows))
-    print(json.dumps({
+    fps = float(np.median(fps_windows)) if fps_windows else 0.0
+    out = {
         "metric": "euroc_res_odometry_fps",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 60.0, 3),
-    }))
+    }
+    if error is not None:
+        out["error"] = error
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 -- never exit without the JSON line
+        import traceback
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "euroc_res_odometry_fps",
+            "value": 0.0,
+            "unit": "frames/sec",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+        }))

@@ -153,7 +153,13 @@ def build_edge_lattice(kk_local, mask, K, E_pad, L=None):
     cnt = np.bincount(ks_s, minlength=K)
     Lmax = int(cnt.max()) if len(ks_s) else 1
     if L is None:
-        L = max(-(-Lmax // 4) * 4, 4)
+        # L is a STATIC argname of the fused frame program (LAT_L), so a
+        # fine-grained bucket would recompile the whole program whenever
+        # the graph's max patch degree drifts across a bucket boundary --
+        # round up to a power of two (min 8) to keep it stable
+        L = 8
+        while L < Lmax:
+            L *= 2
     assert Lmax <= L, f"lattice overflow: {Lmax} > {L}"
     pos = np.arange(len(ks_s)) - np.repeat(np.cumsum(cnt) - cnt, cnt)
     lat = np.full((K, L), E_pad, np.int64)

@@ -110,14 +110,18 @@ def update_body(
     # rows 16+ carry the per-patch edge lattice when LAT_L > 0
     lattice = None
     if packed.ndim == 1:
+        # the host ALWAYS uploads rows of width EP2u = corr_epad(EPAD, mem)
+        # (16 index rows + lattice rows); reshape by the true row width --
+        # a reshape(16, -1) would silently misalign rows 1-15 whenever
+        # lattice rows ride along (advisor finding, round 3: garbage jjm /
+        # corr-plan rows crashed the Pallas kernel on-chip)
+        from ..ops.corr_pallas import corr_epad as _cepad2
+        EP2u = _cepad2(EPAD, fmap1.shape[0])
+        packed = packed.reshape(-1, EP2u).astype(jnp.int32)
         if LAT_L:
-            from ..ops.corr_pallas import corr_epad as _cepad2
-            EP2u = _cepad2(EPAD, fmap1.shape[0])
-            packed = packed.reshape(-1, EP2u).astype(jnp.int32)
             lattice = packed[16:].reshape(-1)[: KWIN * LAT_L]
             lattice = lattice.reshape(KWIN, LAT_L)
-        else:
-            packed = packed.reshape(16, -1).astype(jnp.int32)
+        packed = packed[:16]
     ii, jj, kk_local, ctx_idx, jjm, a_ix, a_jx, a_kseg, a_gseg, a_perm, \
         a_inv, a_mask, a_gather = [packed[i, :EPAD] for i in range(13)]
     corr_plan = None

@@ -1320,7 +1320,11 @@ class SLAM:
                 self.keyframe(staging=True)
             n = pg.n
 
-        if n > 0 and not self.is_initialized:
+        # MOTION_PROBE_THR < 0 can never gate a frame (the probe returns a
+        # norm >= 0), so skip the probe dispatch AND its blocking sync
+        # entirely -- under the bench config this removed one device round
+        # trip per pre-init frame and a single point of failure
+        if n > 0 and not self.is_initialized and cfg.MOTION_PROBE_THR >= 0:
             if self.motion_probe() < cfg.MOTION_PROBE_THR:
                 pg.delta[pg.counter - 1] = (pg.counter - 2, np.asarray(SE3.Identity(()).data))
                 return "Not keyframe"

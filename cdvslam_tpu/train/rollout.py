@@ -52,6 +52,11 @@ class RolloutConfig(NamedTuple):
     is_cdv: bool = True
     flow_weight: float = 0.1
     pose_weight: float = 10.0
+    # rematerialize each rollout step (and the feature extractors) in the
+    # backward pass: the dense recipe (F=4, M=1530 -> 24,480 edges/step)
+    # otherwise stores every step's corr volumes + update activations and
+    # needs 29.8 GiB vs the chip's 15.75 GiB HBM (round-3 measurement)
+    remat: bool = True
 
 
 def n_visible(cfg: RolloutConfig, s: int) -> int:
@@ -99,10 +104,19 @@ def rollout_loss(params, model, cfg: RolloutConfig, images, gt_poses, gt_disps,
     intr_full = jnp.broadcast_to(intr4, (F, 4))
 
     # ---- features + patch extraction (all frames at once) ----
+    # remat the extractors: only the feature maps are stored for backward,
+    # not the DINO/XFeat internals (12 x per-layer attention logits etc.)
+    def _ckpt(fn):
+        return jax.checkpoint(fn) if cfg.remat else fn
+
     scores_all = jnp.ones((F * M,))
     if cfg.is_cdv:
-        fmap = model.apply(params, images, method=type(model).features_f)
-        tmap, *_ , score = model.apply(params, images, method=type(model).features_i)
+        fmap = _ckpt(
+            lambda p, im: model.apply(p, im, method=type(model).features_f)
+        )(params, images)
+        tmap, *_ , score = _ckpt(
+            lambda p, im: model.apply(p, im, method=type(model).features_i)
+        )(params, images)
         hf, wf = fmap.shape[2], fmap.shape[3]
         hi, wi = tmap.shape[2], tmap.shape[3]
         key, k1 = jax.random.split(key)
@@ -123,7 +137,9 @@ def rollout_loss(params, model, cfg: RolloutConfig, images, gt_poses, gt_disps,
         grid = coords_grid_with_index(gt_disps[None])[0]
         patches_gt = patchify_op(grid, coords, P // 2, mode="bilinear")
     else:
-        fmap, imap = model.apply(params, images, method=type(model).features)
+        fmap, imap = _ckpt(
+            lambda p, im: model.apply(p, im, method=type(model).features)
+        )(params, images)
         hf, wf = fmap.shape[2], fmap.shape[3]
         key, k1 = jax.random.split(key)
         from ..models.patchifier import select_random
@@ -177,119 +193,147 @@ def rollout_loss(params, model, cfg: RolloutConfig, images, gt_poses, gt_disps,
     total_loss = 0.0
     metrics = {"px1": 0.0, "ro": 0.0, "tr": 0.0}
 
-    for s in range(cfg.STEPS):
+    ix_j = jnp.asarray(ix_np, jnp.int32)
+    jx_j = jnp.asarray(jx_np, jnp.int32)
+    perm_j = jnp.asarray(perm_np, jnp.int32)
+    inv_j = jnp.asarray(inv_np, jnp.int32)
+
+    def make_step(s):
+        """One rollout step as a standalone function of the carried state,
+        so jax.checkpoint can rematerialize its activations (corr volumes,
+        update internals, BA factors) in the backward pass instead of
+        storing STEPS copies. nv / nv_prev / s are Python statics baked
+        into each step's trace; cross-step gradient flows only through
+        the hidden state (Gs/patches are stop_gradient'ed, matching the
+        reference's per-step detach, net_dpv.py:229)."""
         nv = n_visible(cfg, s)
         nv_prev = n_visible(cfg, s - 1) if s > 0 else cfg.MIN_FRAME
-        Gs = jax.lax.stop_gradient(Gs)
-        patches = jax.lax.stop_gradient(patches)
 
-        if nv > nv_prev:
-            # new frame: pose copied from previous (net_dpv.py:231)
-            if not cfg.structure_only:
-                Gs = Gs.at[nv - 1].set(Gs[nv - 2])
-            # depth init: median of the previous 2 frames' depths
-            med = jnp.median(
-                jax.lax.dynamic_slice(
-                    patches[:, 2, P // 2, P // 2], ((nv - 3) * M,), (2 * M,)
+        def step(Gs, patches, net, drop_mask, drop_roll):
+            Gs = jax.lax.stop_gradient(Gs)
+            patches = jax.lax.stop_gradient(patches)
+
+            if nv > nv_prev:
+                # new frame: pose copied from previous (net_dpv.py:231)
+                if not cfg.structure_only:
+                    Gs = Gs.at[nv - 1].set(Gs[nv - 2])
+                # depth init: median of the previous 2 frames' depths
+                med = jnp.median(
+                    jax.lax.dynamic_slice(
+                        patches[:, 2, P // 2, P // 2], ((nv - 3) * M,), (2 * M,)
+                    )
                 )
+                newd = jnp.broadcast_to(med, (M, P, P))
+                row = jax.lax.dynamic_slice(
+                    patches, ((nv - 1) * M, 0, 0, 0), (M, 3, P, P)
+                ).at[:, 2].set(newd)
+                patches = jax.lax.dynamic_update_slice(
+                    patches, row, ((nv - 1) * M, 0, 0, 0))
+                # dropout: with p=0.1 drop edges touching frame nv-4
+                do_drop = drop_roll[s] < 0.1
+                hit = (ii == nv - 4) | (jj == nv - 4)
+                drop_mask = jnp.where(do_drop & hit, False, drop_mask)
+
+            active = (ii < nv) & (jj < nv) & drop_mask
+
+            aux = UpdateAux(
+                ix=ix_j, jx=jx_j,
+                kseg=jnp.where(active, kk, F * M).astype(jnp.int32),
+                gseg=jnp.where(active, ii * F + jj, F * F).astype(jnp.int32),
+                perm=perm_j, inv_perm=inv_j, mask=active,
             )
-            newd = jnp.broadcast_to(med, (M, P, P))
-            row = jax.lax.dynamic_slice(
-                patches, ((nv - 1) * M, 0, 0, 0), (M, 3, P, P)
-            ).at[:, 2].set(newd)
-            patches = jax.lax.dynamic_update_slice(patches, row, ((nv - 1) * M, 0, 0, 0))
-            # dropout: with p=0.1 drop edges touching frame nv-4
-            do_drop = drop_roll[s] < 0.1
-            hit = (ii == nv - 4) | (jj == nv - 4)
-            drop_mask = jnp.where(do_drop & hit, False, drop_mask)
-
-        active = (ii < nv) & (jj < nv) & drop_mask
-
-        aux = UpdateAux(
-            ix=jnp.asarray(ix_np, jnp.int32),
-            jx=jnp.asarray(jx_np, jnp.int32),
-            kseg=jnp.where(active, kk, F * M).astype(jnp.int32),
-            gseg=jnp.where(active, ii * F + jj, F * F).astype(jnp.int32),
-            perm=jnp.asarray(perm_np, jnp.int32),
-            inv_perm=jnp.asarray(inv_np, jnp.int32),
-            mask=active,
-        )
-        # neighbors must themselves be active
-        act_ix = jnp.take(active, jnp.clip(aux.ix, 0, None), mode="clip") & (aux.ix >= 0)
-        act_jx = jnp.take(active, jnp.clip(aux.jx, 0, None), mode="clip") & (aux.jx >= 0)
-        aux = aux._replace(
-            ix=jnp.where(act_ix, aux.ix, -1), jx=jnp.where(act_jx, aux.jx, -1)
-        )
-
-        coords = transform(SE3(Gs[None]), patches[None], intr_full[None], ii, jj, kk)
-        coords_nchw = coords.transpose(0, 1, 4, 2, 3)
-
-        c1 = corr_op(gmap[None], fmap[None], coords_nchw, kk, jj, radius=3)
-        c2 = corr_op(gmap[None], fmap2[None], coords_nchw / 4.0, kk, jj, radius=3)
-        corrf = jnp.stack([c1, c2], -1).reshape(1, E, -1)
-
-        inp = jnp.take(ictx, kk, axis=0, mode="clip")[None]
-        if cfg.is_cdv:
-            net_b, d, w = model.apply(
-                params, net[None], inp, corrf, aux, F * M,
-                posenc=posenc_edges, method=type(model).update,
+            # neighbors must themselves be active
+            act_ix = jnp.take(active, jnp.clip(aux.ix, 0, None), mode="clip") & (aux.ix >= 0)
+            act_jx = jnp.take(active, jnp.clip(aux.jx, 0, None), mode="clip") & (aux.jx >= 0)
+            aux = aux._replace(
+                ix=jnp.where(act_ix, aux.ix, -1), jx=jnp.where(act_jx, aux.jx, -1)
             )
-        else:
-            net_b, d, w = model.apply(
-                params, net[None], inp, corrf, aux, F * M, F * F,
-                method=type(model).update,
+
+            coords = transform(SE3(Gs[None]), patches[None], intr_full[None], ii, jj, kk)
+            coords_nchw = coords.transpose(0, 1, 4, 2, 3)
+
+            c1 = corr_op(gmap[None], fmap[None], coords_nchw, kk, jj, radius=3)
+            c2 = corr_op(gmap[None], fmap2[None], coords_nchw / 4.0, kk, jj, radius=3)
+            corrf = jnp.stack([c1, c2], -1).reshape(1, E, -1)
+
+            inp = jnp.take(ictx, kk, axis=0, mode="clip")[None]
+            if cfg.is_cdv:
+                net_b, d, w = model.apply(
+                    params, net[None], inp, corrf, aux, F * M,
+                    posenc=posenc_edges, method=type(model).update,
+                )
+            else:
+                net_b, d, w = model.apply(
+                    params, net[None], inp, corrf, aux, F * M, F * F,
+                    method=type(model).update,
+                )
+            net = net_b[0]
+
+            target = coords[0, :, P // 2, P // 2, :] + d[0]
+            wgt = w[0] * active[:, None] * jnp.take(scores_all, kk, mode="clip")[:, None]
+
+            Gs, patches = ba_solve(
+                Gs, patches, intr4, target, wgt, ii, jj, kk, active,
+                1, N=F, K=F * M, iterations=2, params=TRAINING_PARAMS,
+                structure_only=cfg.structure_only, use_bounds=True, bounds=bounds,
             )
-        net = net_b[0]
 
-        target = coords[0, :, P // 2, P // 2, :] + d[0]
-        wgt = w[0] * active[:, None] * jnp.take(scores_all, kk, mode="clip")[:, None]
+            # ---- supervision (train_cdvo.py:119-156) ----
+            dij = jnp.abs(ii - jj)
+            sup = active & (dij > 0) & (dij <= 2)
+            coords_est = transform(SE3(Gs[None]), patches[None], intr_full[None], ii, jj, kk)
+            coords_gt, valid, _ = transform(
+                SE3(gt_poses[None]), patches_gt[None], intr_full[None], ii, jj, kk,
+                jacobian=True,
+            )
+            err = _safe_norm(coords_est - coords_gt, axis=-1)[0]       # (E,P,P)
+            err_min = jnp.min(err.reshape(E, P * P), axis=-1)
+            vmask = sup & (valid[0] > 0.5)
+            flow_loss = jnp.sum(jnp.where(vmask, err_min, 0.0)) / jnp.maximum(
+                jnp.sum(vmask), 1.0
+            )
+            loss_s = cfg.flow_weight * flow_loss
+            px1 = jnp.sum(jnp.where(vmask, (err_min < 0.25), False)) / jnp.maximum(jnp.sum(vmask), 1)
 
-        Gs, patches = ba_solve(
-            Gs, patches, intr4, target, wgt, ii, jj, kk, active,
-            1, N=F, K=F * M, iterations=2, params=TRAINING_PARAMS,
-            structure_only=cfg.structure_only, use_bounds=True, bounds=bounds,
-        )
+            tr_m = jnp.float32(0.0)
+            ro_m = jnp.float32(0.0)
+            if not cfg.structure_only and s >= 2:
+                # scaled relative pose loss over visible frames
+                P1 = se3_inv(Gs)
+                P2 = se3_inv(gt_poses)
+                fr_mask = jnp.arange(F) < nv
+                t1 = P1[:, :3]
+                t2 = P2[:, :3]
+                num = jnp.sum(jnp.where(fr_mask, jnp.sum(t2 * t1, -1), 0.0))
+                den = jnp.sum(jnp.where(fr_mask, jnp.sum(t1 * t1, -1), 0.0))
+                s_scale = jax.lax.stop_gradient(jnp.clip(num / jnp.clip(den, 1e-8), max=10.0))
+                P1s = se3_scale(P1, jnp.broadcast_to(s_scale, (F,)))
+                fi, fj = jnp.meshgrid(jnp.arange(F), jnp.arange(F), indexing="ij")
+                fi, fj = fi.reshape(-1), fj.reshape(-1)
+                pair_mask = (fi != fj) & (fi < nv) & (fj < nv)
+                dP = se3_mul(se3_inv(P1s[fi]), P1s[fj])
+                dG = se3_mul(se3_inv(P2[fi]), P2[fj])
+                e1 = se3_log(se3_mul(dP, se3_inv(dG)))
+                tr = _safe_norm(e1[:, :3], axis=-1)
+                ro = _safe_norm(e1[:, 3:6], axis=-1)
+                cnt = jnp.maximum(jnp.sum(pair_mask), 1.0)
+                tr_m = jnp.sum(jnp.where(pair_mask, tr, 0.0)) / cnt
+                ro_m = jnp.sum(jnp.where(pair_mask, ro, 0.0)) / cnt
+                loss_s = loss_s + cfg.pose_weight * (tr_m + ro_m)
 
-        # ---- supervision (train_cdvo.py:119-156) ----
-        dij = jnp.abs(ii - jj)
-        sup = active & (dij > 0) & (dij <= 2)
-        coords_est = transform(SE3(Gs[None]), patches[None], intr_full[None], ii, jj, kk)
-        coords_gt, valid, _ = transform(
-            SE3(gt_poses[None]), patches_gt[None], intr_full[None], ii, jj, kk,
-            jacobian=True,
-        )
-        err = _safe_norm(coords_est - coords_gt, axis=-1)[0]           # (E,P,P)
-        err_min = jnp.min(err.reshape(E, P * P), axis=-1)
-        vmask = sup & (valid[0] > 0.5)
-        flow_loss = jnp.sum(jnp.where(vmask, err_min, 0.0)) / jnp.maximum(
-            jnp.sum(vmask), 1.0
-        )
-        total_loss = total_loss + cfg.flow_weight * flow_loss
-        metrics["px1"] = jnp.sum(jnp.where(vmask, (err_min < 0.25), False)) / jnp.maximum(jnp.sum(vmask), 1)
+            return Gs, patches, net, drop_mask, loss_s, px1, tr_m, ro_m
 
+        return step
+
+    for s in range(cfg.STEPS):
+        step = make_step(s)
+        if cfg.remat:
+            step = jax.checkpoint(step)
+        Gs, patches, net, drop_mask, loss_s, px1, tr_m, ro_m = step(
+            Gs, patches, net, drop_mask, drop_roll)
+        total_loss = total_loss + loss_s
+        metrics["px1"] = px1
         if not cfg.structure_only and s >= 2:
-            # scaled relative pose loss over visible frames
-            P1 = se3_inv(Gs)
-            P2 = se3_inv(gt_poses)
-            fr_mask = jnp.arange(F) < nv
-            t1 = P1[:, :3]
-            t2 = P2[:, :3]
-            num = jnp.sum(jnp.where(fr_mask, jnp.sum(t2 * t1, -1), 0.0))
-            den = jnp.sum(jnp.where(fr_mask, jnp.sum(t1 * t1, -1), 0.0))
-            s_scale = jax.lax.stop_gradient(jnp.clip(num / jnp.clip(den, 1e-8), max=10.0))
-            P1s = se3_scale(P1, jnp.broadcast_to(s_scale, (F,)))
-            fi, fj = jnp.meshgrid(jnp.arange(F), jnp.arange(F), indexing="ij")
-            fi, fj = fi.reshape(-1), fj.reshape(-1)
-            pair_mask = (fi != fj) & (fi < nv) & (fj < nv)
-            dP = se3_mul(se3_inv(P1s[fi]), P1s[fj])
-            dG = se3_mul(se3_inv(P2[fi]), P2[fj])
-            e1 = se3_log(se3_mul(dP, se3_inv(dG)))
-            tr = _safe_norm(e1[:, :3], axis=-1)
-            ro = _safe_norm(e1[:, 3:6], axis=-1)
-            cnt = jnp.maximum(jnp.sum(pair_mask), 1.0)
-            tr_m = jnp.sum(jnp.where(pair_mask, tr, 0.0)) / cnt
-            ro_m = jnp.sum(jnp.where(pair_mask, ro, 0.0)) / cnt
-            total_loss = total_loss + cfg.pose_weight * (tr_m + ro_m)
             metrics["tr"] = tr_m
             metrics["ro"] = ro_m
 

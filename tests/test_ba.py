@@ -186,16 +186,24 @@ def test_lattice_assembly_matches_scatter():
                         77.0 * np.ones((pad, 2))]), jnp.float32)
     mask = np.concatenate([rng.rand(E) > 0.1, np.zeros(pad, bool)])
 
-    lat = build_edge_lattice(kk2, mask, K, E_pad)
     kw = dict(N=5, K=K, iterations=2)
     args = (poses0, pert, intr, target2, weight,
             jnp.asarray(ii2, jnp.int32), jnp.asarray(jj2, jnp.int32),
             jnp.asarray(kk2, jnp.int32), jnp.asarray(mask), 1)
     p_s, d_s = ba_solve(*args, assembly="scatter", **kw)
-    p_l, d_l = ba_solve(*args, assembly="lattice", lattice=jnp.asarray(lat),
-                        **kw)
-    np.testing.assert_allclose(np.asarray(p_l), np.asarray(p_s),
-                               rtol=2e-4, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(d_l[:, 2, 1, 1]),
-                               np.asarray(d_s[:, 2, 1, 1]),
-                               rtol=2e-4, atol=2e-4)
+
+    # two lattice constructions: (a) mask-filtered (masked edges absent
+    # from the lattice) and (b) the PRODUCTION configuration
+    # (_prepare_update builds the lattice with np.ones(E) over the real
+    # edges and relies on ba_solve zeroing w/r of masked edges)
+    lat_masked = build_edge_lattice(kk2, mask, K, E_pad)
+    real_edges = np.concatenate([np.ones(E, bool), np.zeros(pad, bool)])
+    lat_prod = build_edge_lattice(kk2, real_edges, K, E_pad)
+    for lat in (lat_masked, lat_prod):
+        p_l, d_l = ba_solve(*args, assembly="lattice",
+                            lattice=jnp.asarray(lat), **kw)
+        np.testing.assert_allclose(np.asarray(p_l), np.asarray(p_s),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(d_l[:, 2, 1, 1]),
+                                   np.asarray(d_s[:, 2, 1, 1]),
+                                   rtol=2e-4, atol=2e-4)
