@@ -71,6 +71,7 @@ _C = CfgNode(
     CLASSIC_LOOP_SYNC=False,
     LOOP_RETR_THRESH=0.04,
     LOOP_RETR_RADIUS=50,
+    LOOP_CLOSE_NMS=50,   # NMS radius around already-closed loop pairs
     SEG_HEAD="",
     DEPTH_HEAD="",
     FILTER_DYNAMIC_CLASS=False,

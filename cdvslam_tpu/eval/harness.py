@@ -16,8 +16,13 @@ from .ate import ate_rmse, associate_timestamps
 
 
 def run_sequence(cfg, imagedir, calib, stride=1, skip=0, version="cdv",
-                 network="", viz=False, params=None, crop_border=None):
-    """Run the SLAM loop over an image directory; returns (poses, tstamps)."""
+                 network="", viz=False, params=None, crop_border=None,
+                 slam_sink=None):
+    """Run the SLAM loop over an image directory; returns (poses, tstamps).
+
+    ``slam_sink``: optional list; the SLAM instance is appended before
+    terminate() so callers (smoke tests) can inspect runtime state such
+    as ``slam.stats`` feature-fire counters."""
     from ..slam import SLAM
     from ..slam.stream import image_stream, start_reader
 
@@ -35,6 +40,8 @@ def run_sequence(cfg, imagedir, calib, stride=1, skip=0, version="cdv",
                 params = load_torch_checkpoint(network, version=version)
             slam = SLAM(cfg, network=version, ht=h, wd=w, viz=viz, params=params)
         slam(t, image[..., ::-1].copy(), intrinsics)
+    if slam_sink is not None:
+        slam_sink.append(slam)
     return slam.terminate()
 
 

@@ -250,6 +250,9 @@ class LongTermLoopClosure:
     def close_loop(self, i, j):
         """Estimate Sim3 between loop frames and launch async PGO
         (long_term.py:205-266)."""
+        stats = getattr(self.slam, "stats", None)
+        if stats is not None:
+            stats["lc_attempts"] += 1
         out_i = self._keypoints_3d(i)
         out_j = self._keypoints_3d(j)
         if out_i is None or out_j is None:
@@ -398,6 +401,9 @@ class LongTermLoopClosure:
         # re-fix gauge + unit mean disparity (reference lc_callback tail)
         self.slam.normalize()
         self.lc_count += 1
+        stats = getattr(self.slam, "stats", None)
+        if stats is not None:
+            stats["lc_applied"] += 1
 
     def terminate(self, n):
         self.attempt_loop_closure(n)
