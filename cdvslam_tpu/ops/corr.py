@@ -59,29 +59,40 @@ def corr(
         base = jnp.pad(base, ((0, npad), (0, 0), (0, 0)))
     nchunks = (E + npad) // chunk
 
+    # everything crossing the lax.map boundary is FLATTENED to 2-D
+    # (chunk, features): trailing (P, P) / (D, D) dims pad 5-16x under
+    # TPU (8,128) tiling, and the backward of lax.map stacks the body's
+    # residuals across ALL chunks -- at training scale (E=24480) the
+    # stacked padded masks/windows alone were >4 GiB of HLO temps. The
+    # checkpoint on the body keeps only these compact inputs as scan
+    # residuals and rematerializes the gathered windows per chunk.
+    @jax.checkpoint
     def do_chunk(args):
-        gc, ix0c, iy0c, basec = args                              # (chunk, ...)
+        gcf, ix0f, iy0f, basec = args                             # (chunk, .)
+        gc = gcf.reshape(chunk, C, P, P)
+        ix0c = ix0f.reshape(chunk, P, P)
+        iy0c = iy0f.reshape(chunk, P, P)
         iy = iy0c[..., None, None] + di[:, None]                  # (chunk,P,P,D,1)
         ix = ix0c[..., None, None] + di[None, :]                  # (chunk,P,P,1,D)
         iy = jnp.broadcast_to(iy, iy0c.shape + (D, D))
         ix = jnp.broadcast_to(ix, ix0c.shape + (D, D))
         inb = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
-        idx = basec[..., None, None] + jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
+        idx = basec[..., None, None, None] + jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
         f = jnp.take(fflat, idx.reshape(-1), axis=0, mode="clip")              # (chunk*P*P*D*D, C)
         f = f.reshape(chunk, P, P, D, D, C)
         f = jnp.where(inb[..., None], f, 0.0)
         # dot over channels on the MXU
         c = jnp.einsum("ecpq,epqijc->eijpq", gc, f,
                        preferred_element_type=jnp.float32).astype(gc.dtype)
-        return c                                                  # (chunk, D, D, P, P)
+        return c.reshape(chunk, D * D * P * P)                    # flat out
 
     parts = jax.lax.map(
         do_chunk,
         (
-            g.reshape(nchunks, chunk, C, P, P),
-            ix0.reshape(nchunks, chunk, P, P),
-            iy0.reshape(nchunks, chunk, P, P),
-            base.reshape(nchunks, chunk, 1, 1),
+            g.reshape(nchunks, chunk, C * P * P),
+            ix0.reshape(nchunks, chunk, P * P),
+            iy0.reshape(nchunks, chunk, P * P),
+            base.reshape(nchunks, chunk, 1),
         ),
     )
     vol = parts.reshape(nchunks * chunk, D, D, P, P)[:E]          # (E, Dy, Dx, P, P)

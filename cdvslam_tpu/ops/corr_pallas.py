@@ -65,7 +65,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TE = int(_os.environ.get("CORR_TE", "64"))  # edges per grid step
-THB = int(_os.environ.get("CORR_TH", "26"))  # shared row band height
+YCELL = int(_os.environ.get("CORR_YC", "16"))  # supercell row quantum
+# shared row band height: phase B's band contraction scales with THB, so
+# smaller supercells (tighter bands) cut kernel FLOPs ~linearly; the fast
+# path needs THB >= (YCELL-1) + patch span (2) + window D (8)
+THB = int(_os.environ.get("CORR_TH", str(YCELL + 10)))
 SUBTE = 8                                   # frame-run pad / refetch tile
 CB = int(_os.environ.get("CORR_CB", "4"))   # edges per shared-band chunk
 TWB = 128                                   # column band width (one lane tile)
@@ -73,9 +77,8 @@ PPD2 = 96                                   # padded per-edge tap columns
 PPC = 16                                    # compact per-edge tap columns
 XE = 32                                     # edges per expansion chunk (Xexp size)
 CG = int(_os.environ.get("CORR_CG", "4"))   # phase-C cross-edge batch width
-YCELL = 16                                  # supercell row quantum
 XCELL = 64                                  # x quantum (copy shift/supercell)
-NSY = 32                                    # supercell grid rows per frame
+NSY = max(32, 512 // YCELL)                 # supercell grid rows per frame
 NSX = 8                                     # supercell grid cols per frame
 assert TE % SUBTE == 0 and TE % CG == 0, "TE must be divisible by SUBTE and CG"
 assert SUBTE % CB == 0, "CB must divide SUBTE (chunks cannot straddle frames)"

@@ -441,12 +441,15 @@ class SLAM:
                 # with image origins at D and Wc+D+64 (every 64-aligned
                 # window origin is 128-aligned in one of them)
                 def _wr(buf, f):
-                    ft = jnp.swapaxes(f, 0, 1)[None]        # (1, H, C, W)
-                    Wc = buf.shape[-1] // 2
-                    buf = jax.lax.dynamic_update_slice(
-                        buf, ft, (n % mem, 8, 0, 8))
+                    # ONE full-slot write via pad_fmap (the kernel-layout
+                    # padder): a single dynamic_update_slice per buffer
+                    # instead of two partial-row writes, so at most one
+                    # whole-buffer materialization per insert if XLA
+                    # declines to update in place
+                    from ..ops.corr_pallas import pad_fmap
+                    slot = pad_fmap(f[None]).astype(buf.dtype)  # (1,Hp,C,2Wc)
                     return jax.lax.dynamic_update_slice(
-                        buf, ft, (n % mem, 8, 0, Wc + 8 + 64))
+                        buf, slot, (n % mem, 0, 0, 0))
                 f1buf = _wr(f1buf, f1)
                 f2buf = _wr(f2buf, f2)
                 colors_buf = colors_buf.at[n].set(clr[0].astype(colors_buf.dtype))
