@@ -87,7 +87,8 @@ def main():
                 d = np.linalg.norm(gt[i, :3] - gt[j, :3])
                 if d < 0.5 * step:
                     valid += 1
-                    detected_mid.add(i)
+                    if i >= per_loop:   # recall counts true revisits only
+                        detected_mid.add(i)
             # recall over second-loop frames that COULD fire (the
             # repetition check needs 3 consecutive hits, so the first 2
             # revisit frames cannot)
