@@ -17,7 +17,9 @@ CB*PPD2 = 384 keeps lane-tile alignment with 25% less pad than 128):
     T     = G2^T @ band.(THB*C, TWB)              # y+chan contract (MXU)
     out2  = T @ CM0(TWB, CG*PPD2), block-diag masked
     out   = SUMQ^T @ out2^T                       # (D, CG*PPD2) taps
-    blend = 4-tap bilinear (XLA side)             # (PP, D-1, D-1)
+    blend = FUSED into ysel/cm0: the one-hot selections are 2-tap
+            bilinear interpolation rows, so the kernel emits blended
+            taps and the XLA side only slices [:D-1, :D-1]
 
 The frame is staged rows-OUTER / channels-sublane as (Hp, C, 2*Wc):
 TWO x-copies concatenated along lanes, image origins at columns D and
@@ -99,7 +101,7 @@ def corr_epad(E, NF):
 
 def _corr_kernel_v9(jjs_ref, tys_ref, txbs_ref, oky_ref, fbs_ref,  # prefetch
                     gec_ref, rxyc_ref, xexp_ref, frame_hbm, out_ref,
-                    fcache, g2s, ts, gef, rxy, fid, sem,
+                    fcache, g2s, ts, gef, rxy, fxy, fid, sem,
                     *, C, PP, D, Hp, Wc, THB_, XE_):
     """One grid step = TE edges, sorted by (target frame, cell).
 
@@ -112,11 +114,18 @@ def _corr_kernel_v9(jjs_ref, tys_ref, txbs_ref, oky_ref, fbs_ref,  # prefetch
     gef:     (C, TE*PPD2) tap-expanded patch features (phase 0 output)
     rxy:     (2, TE*PPD2) int32 expanded chunk-relative x/y taps
     gec_ref: (1, C, TE*PPC) COMPACT patch features, 16 cols/edge
-    rxyc_ref:(1, 4, TE*PPC) compact taps as bf16: rows 0/1 = x/y rel.
+    rxyc_ref:(1, 6, TE*PPC) compact taps as bf16: rows 0/1 = x/y rel.
              the EDGE's own window origin (small, bf16-exact), rows 2/3
              = edge-origin -> chunk-origin deltas (x: multiples of 64,
              y: small; both bf16-exact); -9 sentinel on pad columns of
-             rows 0/1 (stays negative after the +u offset)
+             rows 0/1 (stays negative after the +u offset); rows 4/5 =
+             per-pixel bilinear fractions fx/fy -- the 4-tap blend
+             (correlation_kernel.cu:221-232) is FUSED into the one-hot
+             selections: ysel/cm0 become 2-tap interpolation rows
+             ((1-f)[t] + f[t+1]), so the kernel emits blended taps and
+             the XLA side only slices [:D-1, :D-1]. The blend is linear
+             in the tap volume, so this is algebraically the reference
+             blend; fx/fy ride in the feature dtype (bf16 on chip)
     xexp_ref:(XE_*PPC, XE_*PPD2) 0/1 block-diag expansion matrix,
              constant across grid steps (fetched once)
     tys/txbs: per-CHUNK band origins (EP//CB,); txb is a 128-aligned
@@ -142,14 +151,15 @@ def _corr_kernel_v9(jjs_ref, tys_ref, txbs_ref, oky_ref, fbs_ref,  # prefetch
             gec_ref[0, :, ci:ci + XE_ * PPC], xexp_ref[...],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(cdt)
-        r4 = jax.lax.dot_general(
+        r6 = jax.lax.dot_general(
             rxyc_ref[0, :, ci:ci + XE_ * PPC], xexp_ref[...],
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (4, XE_*PPD2)
-        rxy[0:1, co:co + XE_ * PPD2] = (r4[0:1] + r4[2:3] + upat
+            preferred_element_type=jnp.float32)              # (6, XE_*PPD2)
+        rxy[0:1, co:co + XE_ * PPD2] = (r6[0:1] + r6[2:3] + upat
                                         ).astype(jnp.int32)
-        rxy[1:2, co:co + XE_ * PPD2] = (r4[1:2] + r4[3:4] + upat
+        rxy[1:2, co:co + XE_ * PPD2] = (r6[1:2] + r6[3:4] + upat
                                         ).astype(jnp.int32)
+        fxy[:, co:co + XE_ * PPD2] = r6[4:6].astype(cdt)
 
     # step-level constants; g2s rows are (y, c)-major: row = y*C + c,
     # matching the (THB_, C, TWB) band slab reshape
@@ -180,7 +190,10 @@ def _corr_kernel_v9(jjs_ref, tys_ref, txbs_ref, oky_ref, fbs_ref,  # prefetch
         grep = jax.lax.dot_general(
             ohc, gef[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(cdt)  # (THB_*C, TE*PPD2)
-        ysel = (yio == rxy[1:2, :]).astype(cdt)             # (THB_, TE*PPD2)
+        # 2-tap y interpolation (fused bilinear blend, y half)
+        fyr = fxy[1:2, :]
+        ysel = ((yio == rxy[1:2, :]).astype(cdt) * (1.0 - fyr)
+                + (yio == rxy[1:2, :] + 1).astype(cdt) * fyr)  # (THB_, TE*PPD2)
         yex = jax.lax.dot_general(
             ohy, ysel, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(cdt)
@@ -230,7 +243,9 @@ def _corr_kernel_v9(jjs_ref, tys_ref, txbs_ref, oky_ref, fbs_ref,  # prefetch
             out_ref[0, :, lo:lo + CG * PPD2] = jnp.zeros(
                 (D, CG * PPD2), out_ref.dtype)
             continue
-        cm0 = (wio == rxy[0:1, lo:lo + CG * PPD2]).astype(cdt)
+        fxr = fxy[0:1, lo:lo + CG * PPD2]
+        cm0 = ((wio == rxy[0:1, lo:lo + CG * PPD2]).astype(cdt) * (1.0 - fxr)
+               + (wio == rxy[0:1, lo:lo + CG * PPD2] + 1).astype(cdt) * fxr)
         out2 = jax.lax.dot_general(
             ts[lo:lo + CG * PPD2], cm0, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)     # (CG*PPD2, CG*PPD2)
@@ -286,12 +301,17 @@ def _corr_kernel_v9(jjs_ref, tys_ref, txbs_ref, oky_ref, fbs_ref,  # prefetch
                 tapy = rxy[1:2, pl.ds(lo, CW)] + tys_ref[ch]
                 tapx = rxy[0:1, pl.ds(lo, CW)] + txbs_ref[ch] \
                     - jnp.where(txbs_ref[ch] >= Wc, Wc + XCELL, 0)
-                g2f = jnp.where(yofH == tapy, grepf, jnp.zeros((), cdt))
+                fyf = fxy[1:2, pl.ds(lo, CW)]
+                wy = ((yofH == tapy).astype(cdt) * (1.0 - fyf)
+                      + (yofH == tapy + 1).astype(cdt) * fyf)
+                g2f = grepf * wy
                 full2d = fcache[:, :, pl.ds(0, Wc)].reshape(Hp * C, Wc)
                 Tf = jax.lax.dot_general(
                     g2f, full2d, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(cdt)
-                cm0f = (wioW == tapx).astype(cdt)           # (Wc, CW)
+                fxf = fxy[0:1, pl.ds(lo, CW)]
+                cm0f = ((wioW == tapx).astype(cdt) * (1.0 - fxf)
+                        + (wioW == tapx + 1).astype(cdt) * fxf)  # (Wc, CW)
                 out2 = jax.lax.dot_general(
                     Tf, cm0f, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
@@ -512,9 +532,16 @@ def _corr_pallas_planned(gmap, fpad, coords, ii, jj, order, jj_steps, inv,
         [jnp.broadcast_to(dx_s[:, None], (EP, PPC)),
          jnp.broadcast_to(dy_s[:, None], (EP, PPC))], axis=1
     ).astype(gmap.dtype)                                    # (EP, 2, PPC)
-    rxyc_s = jnp.concatenate([rxy_s2, d_rows], axis=1)      # (EP, 4, PPC)
-    rxyc_s = rxyc_s.reshape(nsteps, TE, 4, PPC)
-    rxyc_s = rxyc_s.transpose(0, 2, 1, 3).reshape(nsteps, 4, TE * PPC)
+    # rows 4/5: bilinear fractions (pad pixel columns carry 0 -- their
+    # tap rows are the -9 sentinel, so both 2-tap compares miss anyway)
+    padf = jnp.zeros((E, PPC - PP), jnp.float32)
+    f_c = jnp.stack([jnp.concatenate([fx, padf], axis=1),
+                     jnp.concatenate([fy, padf], axis=1)],
+                    axis=1).astype(gmap.dtype)              # (E, 2, PPC)
+    f_s = reorder(f_c, fill=0)                              # (EP, 2, PPC)
+    rxyc_s = jnp.concatenate([rxy_s2, d_rows, f_s], axis=1)  # (EP, 6, PPC)
+    rxyc_s = rxyc_s.reshape(nsteps, TE, 6, PPC)
+    rxyc_s = rxyc_s.transpose(0, 2, 1, 3).reshape(nsteps, 6, TE * PPC)
 
     # block-diagonal expansion matrix (constant; fetched into VMEM once):
     # Xexp[(e, p), (e', (p', u))] = [e == e'] * [p == p']
@@ -530,7 +557,7 @@ def _corr_pallas_planned(gmap, fpad, coords, ii, jj, order, jj_steps, inv,
         in_specs=[
             pl.BlockSpec((1, C, TE * PPC), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, TE * PPC), lambda g, *_: (g, 0, 0),
+            pl.BlockSpec((1, 6, TE * PPC), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((XE_ * PPC, XE_ * PPD2), lambda g, *_: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -544,6 +571,7 @@ def _corr_pallas_planned(gmap, fpad, coords, ii, jj, order, jj_steps, inv,
             pltpu.VMEM((TE * PPD2, TWB), fpad.dtype),
             pltpu.VMEM((C, TE * PPD2), fpad.dtype),
             pltpu.VMEM((2, TE * PPD2), jnp.int32),
+            pltpu.VMEM((2, TE * PPD2), fpad.dtype),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
@@ -569,15 +597,10 @@ def _corr_pallas_planned(gmap, fpad, coords, ii, jj, order, jj_steps, inv,
     vol_s = vol_s.transpose(0, 2, 1).reshape(EP, PPD2, D)
     vol = jnp.take(vol_s[:, : PP * D], inv, axis=0)         # (E, PP*D, D)
     vol = vol.reshape(E, PP, D, D)                          # (e, p, u, v)
-    # 4-tap bilinear blend (correlation_kernel.cu:221-232); vol axes here
-    # are (y-tap u, x-tap v)
-    dxf = fx[:, :, None, None]
-    dyf = fy[:, :, None, None]
-    out = (1 - dxf) * (1 - dyf) * vol[:, :, : D - 1, : D - 1]
-    out = out + dxf * (1 - dyf) * vol[:, :, : D - 1, 1:]
-    out = out + (1 - dxf) * dyf * vol[:, :, 1:, : D - 1]
-    out = out + dxf * dyf * vol[:, :, 1:, 1:]
-    out = out.astype(gmap.dtype)                            # (E, PP, Dy-1, Dx-1)
+    # the 4-tap bilinear blend (correlation_kernel.cu:221-232) is fused
+    # into the kernel's selection matrices (2-tap interpolation rows in
+    # phases A/C); rows/cols D-1 carry the discarded half-taps
+    out = vol[:, :, : D - 1, : D - 1].astype(gmap.dtype)    # (E, PP, Dy-1, Dx-1)
     out = out.reshape(E, P, P, D - 1, D - 1).transpose(0, 4, 3, 1, 2)
     return out[None]                                        # (1, E, Dx, Dy, P, P)
 
