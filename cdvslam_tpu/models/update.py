@@ -36,6 +36,9 @@ class UpdateAux(NamedTuple):
     perm:      (G, M) edge indices grouping each (i,j) pair contiguously (CDV)
     inv_perm:  (E,) inverse of perm.flatten()
     mask:      (E,) valid-edge mask
+    lattice:   optional (n_kseg, L) per-patch edge lattice (sentinel = E);
+               when present agg_kk aggregates by lattice gathers instead
+               of a materialized (n_kseg, E) one-hot (see blocks.SoftAgg)
     """
     ix: jnp.ndarray
     jx: jnp.ndarray
@@ -44,6 +47,7 @@ class UpdateAux(NamedTuple):
     perm: Optional[jnp.ndarray]
     inv_perm: Optional[jnp.ndarray]
     mask: jnp.ndarray
+    lattice: Optional[jnp.ndarray] = None
 
 
 class _UpdateCommon(nn.Module):
@@ -73,7 +77,8 @@ class _UpdateCommon(nn.Module):
         gj = jnp.take(net, jnp.clip(aux.jx, 0, None), axis=1, mode="clip")
         net = net + MLP2(DIM, name="c2")(mask_jx * gj)
 
-        net = net + SoftAgg(DIM, name="agg_kk")(net, aux.kseg, n_kseg, mask=aux.mask)
+        net = net + SoftAgg(DIM, name="agg_kk")(
+            net, aux.kseg, n_kseg, mask=aux.mask, lattice=aux.lattice)
         return net
 
 

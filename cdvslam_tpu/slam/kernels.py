@@ -140,6 +140,10 @@ def update_body(
     aux = UpdateAux(
         ix=a_ix, jx=a_jx, kseg=a_kseg, gseg=a_gseg,
         perm=perm, inv_perm=a_inv, mask=a_mask.astype(bool),
+        # the BA edge lattice doubles as the agg_kk aggregation lattice
+        # (same per-patch edge lists): saves a materialized (KWIN, EPAD)
+        # one-hot + two MXU passes over it per update
+        lattice=lattice,
     )
 
     patches_win = jax.lax.dynamic_slice(
@@ -380,22 +384,12 @@ def shift_gather(poses, patches, intrinsics, imap_buf, gmap_buf, fmap1,
     map_p = jnp.take(map_f, pr // M, mode="clip") * M + pr % M
     patches = jnp.take(patches, map_p, axis=0, mode="clip")
     score = jnp.take(score, map_p[: score.shape[0]], axis=0, mode="clip")
-    # ring slots: frame at slot s is the unique i in (npre-1-pmem, npre-1]
-    # with i % pmem == s; it receives frame i+1's slot when i was shifted
-    sl = jnp.arange(pmem)
-    i_s = (npre - 1) - ((npre - 1 - sl) % pmem)
-    src_slot = jnp.where(act & (i_s >= k) & (i_s <= npre - 2),
-                         (i_s + 1) % pmem, sl)
-    rows = jnp.arange(pmem * M)
-    map_r = jnp.take(src_slot, rows // M, mode="clip") * M + rows % M
-    imap_buf = jnp.take(imap_buf, map_r, axis=0, mode="clip")
-    gmap_buf = jnp.take(gmap_buf, map_r, axis=0, mode="clip")
-    slf = jnp.arange(mem)
-    i_f = (npre - 1) - ((npre - 1 - slf) % mem)
-    map_m = jnp.where(act & (i_f >= k) & (i_f <= npre - 2),
-                      (i_f + 1) % mem, slf)
-    fmap1 = jnp.take(fmap1, map_m, axis=0, mode="clip")
-    fmap2 = jnp.take(fmap2, map_m, axis=0, mode="clip")
+    # feature ring buffers (imap/gmap/fmap pyramids) are NOT moved: the
+    # host maintains row->slot indirection tables (runtime.fslot_rows /
+    # pslot_rows) and rewrites the packed index rows instead -- a removal
+    # costs zero feature-buffer traffic (the fmap1 pyramid alone is
+    # ~180 MB; its 4-slot shift chain was ~15% of the fused program's
+    # HBM traffic, round-5 HLO audit)
     return (g(poses), patches, g(intrinsics), imap_buf, gmap_buf,
             fmap1, fmap2, g(colors), g(seg), g(scale), score, dP)
 
@@ -439,23 +433,11 @@ def shift_span_body(poses, patches, intrinsics, imap_buf, gmap_buf,
     srcs = jax.lax.dynamic_slice(score, ((k + 1) * M,), (SPAN * M,))
     score = jax.lax.dynamic_update_slice(score, srcs, (k * M,))
 
-    for s in range(SPAN):
-        i = k + s
-        dslot = (i % pmem) * M
-        sslot = ((i + 1) % pmem) * M
-        row = jax.lax.dynamic_slice(imap_buf, (sslot, 0), (M, imap_buf.shape[1]))
-        imap_buf = jax.lax.dynamic_update_slice(imap_buf, row, (dslot, 0))
-        g = jax.lax.dynamic_slice(gmap_buf, (sslot, 0, 0, 0),
-                                  (M,) + gmap_buf.shape[1:])
-        gmap_buf = jax.lax.dynamic_update_slice(gmap_buf, g, (dslot, 0, 0, 0))
-        df = i % mem
-        sf = (i + 1) % mem
-        z1 = (0,) * (fmap1.ndim - 1)
-        f1 = jax.lax.dynamic_slice(fmap1, (sf,) + z1, (1,) + fmap1.shape[1:])
-        fmap1 = jax.lax.dynamic_update_slice(fmap1, f1, (df,) + z1)
-        f2 = jax.lax.dynamic_slice(fmap2, (sf,) + z1, (1,) + fmap2.shape[1:])
-        fmap2 = jax.lax.dynamic_update_slice(fmap2, f2, (df,) + z1)
-
+    # feature ring buffers are untouched: the host slot-indirection tables
+    # (runtime.fslot_rows / pslot_rows) absorb the renumbering, so the
+    # ~180 MB fmap1 pyramid never moves on a removal (it used to be a
+    # 4-slot dynamic-update-slice chain, ~15% of the fused program's HBM
+    # traffic -- round-5 HLO audit)
     return (poses, patches, intrinsics, imap_buf, gmap_buf, fmap1, fmap2,
             colors, seg, scale, score, dP)
 

@@ -94,6 +94,15 @@ class SLAM:
         self.KWIN = (self.cfg.REMOVAL_WINDOW + 6) * self.M
         self.NW = self.cfg.POSE_WINDOW
 
+        # row -> physical feature-slot indirection (fmap pyramids keyed by
+        # frame row via fslot_rows; imap/gmap patch rows via pslot_rows).
+        # Keyframe removals renumber ROWS only -- the tables absorb the
+        # permutation so the ~200 MB of feature ring buffers never move
+        # on device (round-5: the 4-slot fmap shift chain was ~15% of the
+        # fused program's HBM traffic)
+        self.fslot_rows = np.zeros(self.N, np.int32)
+        self.pslot_rows = np.zeros(self.N, np.int32)
+
         self.tlist = []
         self.traj = {}
         # feature-fire counters (smoke tests assert the named subsystem of
@@ -160,6 +169,27 @@ class SLAM:
         self._frame_body = None
         self._fused_fn = None   # frame-insert + update in ONE dispatch
         self._kf_queue = []     # lagged keyframe decisions (pid, mm_dev)
+
+    # ------------------------------------------------------------------
+    def _alloc_slot(self, table, n, cap):
+        """Pick a feature slot for new frame row n: any slot not held by
+        the last cap-1 rows (edges only reference frames/patches within
+        that window, same guarantee the old `row % cap` ring gave).
+        Rotates from the previous row's slot, so with no removals this
+        reproduces the plain ring."""
+        used = set(table[max(0, n - cap + 1): n].tolist())
+        s = (int(table[n - 1]) + 1) % cap if n > 0 else 0
+        while s in used:
+            s = (s + 1) % cap
+        return s
+
+    def _alloc_frame_slots(self, n):
+        """Allocate + record the fmap/imap slots for new frame row n."""
+        fs = self._alloc_slot(self.fslot_rows, n, self.mem)
+        ps = self._alloc_slot(self.pslot_rows, n, self.pmem)
+        self.fslot_rows[n] = fs
+        self.pslot_rows[n] = ps
+        return fs, ps
 
     # ------------------------------------------------------------------
     def _setup_heads(self):
@@ -290,7 +320,7 @@ class SLAM:
             def frame_fn(params, image_u8, seed, poses, patches_buf, intr_buf,
                          imap_buf, gmap_buf, f1buf, f2buf, colors_buf,
                          seg_buf, scale_buf, score_buf, n, fac,
-                         initialized, intr_row):
+                         initialized, intr_row, fslot, pslot):
                 key = jax.random.fold_in(jax.random.PRNGKey(7), seed)
                 # image arrives as a FLAT u8 upload (transport layout cost)
                 img = image_u8.reshape(ht_, wd_, 3).astype(jnp.float32)
@@ -430,8 +460,9 @@ class SLAM:
                 patches_buf = jax.lax.dynamic_update_slice(
                     patches_buf, patch_row, (n * M, 0, 0, 0))
 
-                # ring buffers
-                slot_p = (n % pmem) * M
+                # ring buffers (slots are host-allocated: see
+                # _alloc_frame_slots / the fslot_rows indirection tables)
+                slot_p = pslot * M
                 imap_buf = jax.lax.dynamic_update_slice(imap_buf, ictx[0], (slot_p, 0))
                 gmap_buf = jax.lax.dynamic_update_slice(gmap_buf, gmap[0], (slot_p, 0, 0, 0))
                 # frame pyramids live pre-padded in the corr kernel
@@ -449,7 +480,7 @@ class SLAM:
                     from ..ops.corr_pallas import pad_fmap
                     slot = pad_fmap(f[None]).astype(buf.dtype)  # (1,Hp,C,2Wc)
                     return jax.lax.dynamic_update_slice(
-                        buf, slot, (n % mem, 0, 0, 0))
+                        buf, slot, (fslot, 0, 0, 0))
                 f1buf = _wr(f1buf, f1)
                 f2buf = _wr(f2buf, f2)
                 colors_buf = colors_buf.at[n].set(clr[0].astype(colors_buf.dtype))
@@ -467,11 +498,12 @@ class SLAM:
             self._frame_fn = jax.jit(
                 frame_fn, donate_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 
+        fs, ps = self._alloc_frame_slots(pg.n)
         out = self._frame_fn(
             self.cparams, image_u8, key, pg.poses_, pg.patches_, pg.intrinsics_,
             pg.imap_, pg.gmap_, pg.fmap1_, pg.fmap2_, pg.colors_dev,
             pg.seg_dev, pg.scale_, pg.score_dev, pg.n, fac,
-            initialized, intr_row,
+            initialized, intr_row, fs, ps,
         )
         (pg.poses_, pg.patches_, pg.intrinsics_, pg.imap_, pg.gmap_,
          pg.fmap1_, pg.fmap2_, pg.colors_dev, pg.seg_dev, pg.scale_,
@@ -501,7 +533,7 @@ class SLAM:
                      scale_buf, score_buf, n, fac, intr_row,
                      net_full, target_full, weight_full, weight_mul, packed,
                      t0, k0, net_valid, ht4, wd4, mm_i, mm_j,
-                     shift_k, shift_np, *,
+                     shift_k, shift_np, fslot, pslot, *,
                      NW, KWIN, EPAD, GROUP_M, iterations, is_cdv,
                      HW1, HW2, shift_span=0, LAT_L=0):
             # deferred keyframe removal rides this dispatch; shift_span is
@@ -532,7 +564,8 @@ class SLAM:
                  colors_buf, seg_buf, scale_buf, score_buf) = frame_body(
                     params, image_u8, seed, poses, patches_buf, intr_buf,
                     imap_buf, gmap_buf, f1buf, f2buf, colors_buf, seg_buf,
-                    scale_buf, score_buf, n, fac, True, intr_row)
+                    scale_buf, score_buf, n, fac, True, intr_row,
+                    fslot, pslot)
             if "no_updatebody" in _abl:
                 mm = jnp.zeros((2,), jnp.float32) + 0.0 * poses[0, 0].astype(jnp.float32)
                 return (poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf,
@@ -614,6 +647,7 @@ class SLAM:
             shift_k, shift_np, shift_span = -1, 0, 0
         else:
             self._pending_shift = None
+        fs, ps = self._alloc_frame_slots(n_row)
         with Timer("dispatch", enabled=self.enable_timing):
             (pg.poses_, pg.patches_, pg.intrinsics_, pg.imap_, pg.gmap_,
              pg.fmap1_, pg.fmap2_, pg.colors_dev, pg.seg_dev, pg.scale_,
@@ -625,7 +659,7 @@ class SLAM:
                 intr_row,
                 pg.net, pg.target, pg.weight, weight_mul, packed,
                 t0, k0, pg.net_valid, float(self.ht4), float(self.wd4), mi, mj,
-                shift_k, shift_np,
+                shift_k, shift_np, fs, ps,
                 NW=self.NW, KWIN=KWIN, EPAD=E_pad,
                 GROUP_M=self.M if self.is_cdv else 0,
                 iterations=ba_iters, is_cdv=self.is_cdv,
@@ -740,15 +774,27 @@ class SLAM:
             # phase (the steady state cycles through all `mem` phases)
             key = (E_pad, KWIN, int(kk.min()) - k0, int(jj[0]) % self.mem,
                    rel.tobytes())
+        # row -> physical feature slot (indirection tables; see
+        # _alloc_frame_slots): ctx/gmap rows and corr frame ids
+        ctx_rows = (self.pslot_rows[np.asarray(kk, np.int64) // M].astype(np.int64) * M
+                    + np.asarray(kk, np.int64) % M) if E else np.zeros(0, np.int64)
+        jjm_rows = self.fslot_rows[np.asarray(jj, np.int64)].astype(np.int64) \
+            if E else np.zeros(0, np.int64)
         cached = self._prep_cache.get(key) if key is not None else None
         if cached is not None and getattr(pg, "_pending_gather", None) is None:
+            # NOTE: cached rows 13/14 (host corr order) were sorted under
+            # the slot assignment at cache-fill time; after removals the
+            # slot tables can diverge from it. Harmless: the runtime
+            # always passes HW1, so update_body rebuilds the plan on
+            # device from the live coords (rows 13-15 are only consumed
+            # by the no-HW1 / non-TPU fallback, which ignores plans)
             packed, lat_l = cached                  # i16 (i32 fallback); variant rows
             packed = packed.copy()
             EP2 = packed.shape[1]                   # are bounded << 2^15
             packed[0, :E_pad] = padi(ii)
             packed[1, :E_pad] = padi(jj)
-            packed[3, :E_pad] = padi(kk % (self.pmem * M))
-            jjm_pad = padi(np.asarray(jj, np.int64) % self.mem)
+            packed[3, :E_pad] = padi(ctx_rows)
+            jjm_pad = padi(jjm_rows)
             packed[4, :E_pad] = jjm_pad
             # per-sub-tile corr frame ids from the cached order
             from ..ops.corr_pallas import SUBTE
@@ -769,8 +815,7 @@ class SLAM:
         from ..ops.corr_pallas import corr_epad, plan_corr_order
         EP2 = corr_epad(E_pad, self.mem)
         jjm_pad = np.concatenate(
-            [np.asarray(jj, np.int64) % self.mem, np.zeros(pad, np.int64)]
-        ) if pad else np.asarray(jj, np.int64) % self.mem
+            [jjm_rows, np.zeros(pad, np.int64)]) if pad else jjm_rows
         order, jj_steps, inv = plan_corr_order(jjm_pad, self.mem, EP2)
         # row 12: survivor gather for a deferred edge compaction (identity
         # when none is pending) -- applied to the net hidden state inside
@@ -785,7 +830,7 @@ class SLAM:
 
         rows13 = np.stack([
             padi(ii), padi(jj), padi(kk - k0),
-            padi(kk % (self.pmem * M)), padi(jj % self.mem),
+            padi(ctx_rows), padi(jjm_rows),
             np.asarray(aux.ix), np.asarray(aux.jx),
             np.asarray(aux.kseg), np.asarray(aux.gseg),
             _pad_to(np.asarray(aux.perm).reshape(-1) if aux.perm is not None
@@ -1188,6 +1233,8 @@ class SLAM:
                 pg.tstamps_[k : n - 1] = pg.tstamps_[k + 1 : n]
                 pg.colors_[k : n - 1] = pg.colors_[k + 1 : n]
                 pg.seg_[k : n - 1] = pg.seg_[k + 1 : n]
+                self.fslot_rows[k : n - 1] = self.fslot_rows[k + 1 : n]
+                self.pslot_rows[k : n - 1] = self.pslot_rows[k + 1 : n]
                 self._pending_shift = (k, n)
                 self._pending_delta = (int(t1), int(t0))
             else:
@@ -1233,6 +1280,8 @@ class SLAM:
             pg.tstamps_[k : n - 1] = pg.tstamps_[k + 1 : n]
             pg.colors_[k : n - 1] = pg.colors_[k + 1 : n]
             pg.seg_[k : n - 1] = pg.seg_[k + 1 : n]
+            self.fslot_rows[k : n - 1] = self.fslot_rows[k + 1 : n]
+            self.pslot_rows[k : n - 1] = self.pslot_rows[k + 1 : n]
 
         if 1 <= span <= self.cfg.KEYFRAME_INDEX + 2:
             # small-span removals (the steady-state case; the lagged
@@ -1259,17 +1308,8 @@ class SLAM:
         pidx = (fidx[:, None] * M + np.arange(M)[None, :]).reshape(-1)
         pg.patches_ = gather_rows(pg.patches_, jnp.asarray(pidx))
         pg.score_dev = gather_rows(pg.score_dev, jnp.asarray(pidx))
-        ridx = np.arange(self.pmem)
-        for i in range(k, n - 1):
-            ridx[i % self.pmem] = (i + 1) % self.pmem
-        pslots = (ridx[:, None] * M + np.arange(M)[None, :]).reshape(-1)
-        pg.imap_ = gather_rows(pg.imap_, jnp.asarray(pslots))
-        pg.gmap_ = gather_rows(pg.gmap_, jnp.asarray(pslots))
-        fslots = np.arange(self.mem)
-        for i in range(k, n - 1):
-            fslots[i % self.mem] = (i + 1) % self.mem
-        pg.fmap1_ = gather_rows(pg.fmap1_, jnp.asarray(fslots))
-        pg.fmap2_ = gather_rows(pg.fmap2_, jnp.asarray(fslots))
+        # imap/gmap/fmap pyramids stay put: the slot tables (shifted
+        # above) re-route the packed index rows
         return dP
 
     # ------------------------------------------------------------------

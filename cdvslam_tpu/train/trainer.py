@@ -39,12 +39,10 @@ def make_optimizer(lr=8e-5, total_steps=240000, clip=10.0, weight_decay=1e-6):
     ), sched
 
 
-def make_train_step(model, cfg: RolloutConfig, optimizer, mesh=None):
-    """Returns a jitted train_step(state, batch, key) -> (state, metrics).
-
-    batch: dict with images (B,F,H,W,3), poses (B,F,7), disps (B,F,Hf,Wf),
-    intrinsics (B,4). B is sharded over the mesh 'data' axis.
-    """
+def make_loss_fn(model, cfg: RolloutConfig):
+    """Batched rollout loss with the lock-step NaN guard: NaN samples are
+    masked out of the mean and flagged (any_nan skips the whole step for
+    everyone, the reference's all_reduce(MAX) DDP contract)."""
 
     def loss_fn(params, batch, key):
         keys = jax.random.split(key, batch["images"].shape[0])
@@ -62,6 +60,27 @@ def make_train_step(model, cfg: RolloutConfig, optimizer, mesh=None):
         any_nan = jnp.any(isnan)
         loss = jnp.sum(safe) / jnp.maximum(jnp.sum(~isnan), 1)
         return loss, (metrics, any_nan)
+
+    return loss_fn
+
+
+def batch_shardings(mesh):
+    """NamedShardings for a training batch dict ('data'-sharded)."""
+    return {
+        "images": NamedSharding(mesh, P("data")),
+        "poses": NamedSharding(mesh, P("data")),
+        "disps": NamedSharding(mesh, P("data")),
+        "intrinsics": NamedSharding(mesh, P("data")),
+    }
+
+
+def make_train_step(model, cfg: RolloutConfig, optimizer, mesh=None):
+    """Returns a jitted train_step(state, batch, key) -> (state, metrics).
+
+    batch: dict with images (B,F,H,W,3), poses (B,F,7), disps (B,F,Hf,Wf),
+    intrinsics (B,4). B is sharded over the mesh 'data' axis.
+    """
+    loss_fn = make_loss_fn(model, cfg)
 
     def train_step(state: TrainState, batch, key):
         (loss, (metrics, any_nan)), grads = jax.value_and_grad(
@@ -82,12 +101,7 @@ def make_train_step(model, cfg: RolloutConfig, optimizer, mesh=None):
         return new_state, out_metrics
 
     if mesh is not None:
-        batch_sharding = {
-            "images": NamedSharding(mesh, P("data")),
-            "poses": NamedSharding(mesh, P("data")),
-            "disps": NamedSharding(mesh, P("data")),
-            "intrinsics": NamedSharding(mesh, P("data")),
-        }
+        batch_sharding = batch_shardings(mesh)
         repl = NamedSharding(mesh, P())
         return jax.jit(
             train_step,

@@ -170,6 +170,10 @@ def test_prepare_update_packed_plan_rows():
     cfg.BUFFER_SIZE = 24
     slam = SLAM(cfg, network="dpv", ht=64, wd=96,
                 update_override=lambda *a: None)
+    # seed the row->slot indirection tables (normally filled as frames
+    # are inserted; this test drives _prepare_update directly)
+    slam.fslot_rows[:] = np.arange(len(slam.fslot_rows)) % slam.mem
+    slam.pslot_rows[:] = np.arange(len(slam.pslot_rows)) % slam.pmem
     rng = np.random.RandomState(0)
     E = 37
     ii = rng.randint(0, 6, E)
@@ -179,7 +183,8 @@ def test_prepare_update_packed_plan_rows():
     k0, KWIN, packed, _ = slam._prepare_update(ii, jj, kk, E_pad)
     EP2 = corr_epad(E_pad, slam.mem)
     pk = np.asarray(packed).reshape(-1, EP2)[:16]
-    jjm_pad = np.concatenate([jj % slam.mem, np.zeros(E_pad - E, np.int64)])
+    jjm_pad = np.concatenate([slam.fslot_rows[jj].astype(np.int64),
+                              np.zeros(E_pad - E, np.int64)])
     order, jj_steps, inv = plan_corr_order(jjm_pad, slam.mem, EP2)
     np.testing.assert_array_equal(pk[13], order)
     np.testing.assert_array_equal(pk[14, :E_pad], inv)
@@ -205,6 +210,9 @@ def test_prepare_update_cache_matches_fresh_across_wrap():
                 update_override=lambda *a: None)
     M = slam.M
     mem = slam.mem
+    # seed the row->slot tables like a removal-free run would fill them
+    slam.fslot_rows[:] = np.arange(len(slam.fslot_rows)) % mem
+    slam.pslot_rows[:] = np.arange(len(slam.pslot_rows)) % slam.pmem
 
     def edges(base):
         # forward/backward-style pattern spanning 6 frames from `base`

@@ -187,3 +187,45 @@ def test_softagg_masked_row_does_not_collapse_output():
     g = jax.grad(lambda p: jnp.sum(mod.apply(p, x_poison, ids, S, mask) ** 2))(params)
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_softagg_lattice_matches_onehot():
+    """The lattice aggregation backend (used by the fused SLAM update,
+    which reuses the BA edge lattice) must reproduce the one-hot backend
+    exactly up to f32 association order."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cdvslam_tpu.ba.ba import build_edge_lattice
+    from cdvslam_tpu.models.blocks import SoftAgg
+
+    rng = np.random.RandomState(4)
+    E_real, E_pad, D, S = 37, 48, 16, 9
+    x = jnp.asarray(rng.randn(1, E_pad, D), jnp.float32)
+    ids_r = rng.randint(0, S, E_real)
+    ids = jnp.asarray(np.concatenate(
+        [ids_r, np.zeros(E_pad - E_real, np.int64)]), jnp.int32)
+    mask = jnp.asarray(np.arange(E_pad) < E_real)
+
+    lat = jnp.asarray(build_edge_lattice(
+        ids_r, np.ones(E_real, bool), S, E_pad))
+
+    mod = SoftAgg(D)
+    params = mod.init(jax.random.PRNGKey(1), x, ids, S, mask)
+    want = mod.apply(params, x, ids, S, mask=mask)
+    got = mod.apply(params, x, ids, S, mask=mask, lattice=lat)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    # gradient parity too (the training path would use whichever backend
+    # the aux provides)
+    def loss(p, use_lat):
+        return jnp.sum(mod.apply(p, x, ids, S, mask=mask,
+                                 lattice=lat if use_lat else None) ** 2)
+
+    g1 = jax.grad(loss)(params, False)
+    g2 = jax.grad(loss)(params, True)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)

@@ -76,6 +76,37 @@ def test_rollout_loss_and_grads():
     assert np.isfinite(total) and total > 0
 
 
+def test_loss_decreases_over_steps():
+    """Training on a fixed batch must DECREASE the loss, not just produce
+    finite grads (the update operator has to learn to predict the
+    identity-motion flow on a static clip). Guards the whole
+    train-step -> optimizer -> rollout contract end to end."""
+    F, M, H, W = 4, 4, 48, 64
+    cfg = RolloutConfig(F=F, M=M, STEPS=2, MIN_FRAME=3, is_cdv=True)
+    model = CDVNet()
+    params = _init_cdv_params(model, F, H, W)
+    optimizer, _ = make_optimizer(lr=3e-4, total_steps=200)
+    state = init_train_state(params, optimizer)
+
+    rng = np.random.RandomState(1)
+    batch = {
+        "images": jnp.asarray(rng.rand(1, F, H, W, 3) * 255, jnp.float32),
+        "poses": jnp.tile(jnp.asarray([0, 0, 0, 0, 0, 0, 1.0]), (1, F, 1)),
+        "disps": jnp.ones((1, F, H // 4, W // 4)),
+        "intrinsics": jnp.tile(jnp.asarray([60.0, 60.0, 32.0, 24.0]), (1, 1)),
+    }
+    step = make_train_step(model, cfg, optimizer, mesh=None)
+    key = jax.random.PRNGKey(3)
+    losses = []
+    for i in range(30):
+        state, metrics = step(state, batch, key)  # fixed batch + key
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all(), losses
+    first, last = np.mean(losses[:3]), np.mean(losses[-3:])
+    assert last < 0.9 * first, \
+        f"loss did not decrease: {first:.4f} -> {last:.4f} ({losses})"
+
+
 def test_sharded_train_step():
     mesh = make_mesh(8)
     F, M, H, W = 4, 4, 48, 64

@@ -21,6 +21,60 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def corr_parity():
+    """Value-level parity of the Pallas corr kernel vs the XLA gather
+    oracle ON THE DEVICE, both pyramid levels, fast path AND forced
+    fallback path. A wrong-but-finite kernel (layout/plan bug) passes
+    the finite-poses smoke; this catches it. Returns (ok, report)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cdvslam_tpu.ops import corr as corr_xla
+    from cdvslam_tpu.ops.corr_pallas import (
+        corr_epad, corr_pallas_padded, make_cell_plan, pad_fmap,
+        plan_corr_order)
+
+    rng = np.random.RandomState(3)
+    K, C, P, NF, E = 256, 24, 3, 6, 512
+    report, ok = [], True
+    for lvl, (H, W) in enumerate([(120, 188), (30, 47)]):
+        gmap = jnp.asarray(rng.randn(1, K, C, P, P), jnp.bfloat16)
+        fmap = jnp.asarray(rng.randn(1, NF, C, H, W), jnp.bfloat16)
+        fpad = pad_fmap(fmap)
+        ii = jnp.asarray(rng.randint(0, K, E), jnp.int32)
+        jj = jnp.asarray(np.sort(rng.randint(0, NF, E)), jnp.int32)
+        # coords spread over the frame INCLUDING out-of-image borders
+        # (taps past the edge must read zero, reference semantics)
+        x = rng.uniform(-4, W + 3, (1, E, 1, 1)) + rng.uniform(-1, 1, (1, E, P, P))
+        y = rng.uniform(-4, H + 3, (1, E, 1, 1)) + rng.uniform(-1, 1, (1, E, P, P))
+        coords = jnp.asarray(np.stack([x, y], 2).astype(np.float32))
+        EP = corr_epad(E, NF)
+
+        want = np.asarray(corr_xla(
+            gmap.astype(jnp.float32), fmap.astype(jnp.float32), coords,
+            ii, jj)).astype(np.float32)
+        scale = max(np.abs(want).max(), 1.0)
+
+        plans = {
+            "cell": jax.jit(make_cell_plan, static_argnums=(2, 3, 4, 5))(
+                coords[0], jj, NF, EP, H, W),
+            # frame-only plan: poor locality, most chunks take the exact
+            # slow-path fallback -- covers the fallback code path
+            "frame-only": tuple(map(jnp.asarray, plan_corr_order(
+                np.asarray(jj), NF, EP))),
+        }
+        for tag, plan in plans.items():
+            got = np.asarray(corr_pallas_padded(
+                gmap, fpad, coords, ii, jj, H, W, plan=plan)
+            ).astype(np.float32)
+            err = np.abs(got - want).max() / scale
+            good = bool(err < 3e-2)  # bf16 kernel vs f32 oracle
+            ok &= good
+            report.append(f"corr parity L{lvl + 1}/{tag}: "
+                          f"rel_err={err:.4f} {'ok' if good else 'FAIL'}")
+    return ok, report
+
+
 def main():
     import jax
 
