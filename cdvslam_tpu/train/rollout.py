@@ -57,6 +57,11 @@ class RolloutConfig(NamedTuple):
     # otherwise stores every step's corr volumes + update activations and
     # needs 29.8 GiB vs the chip's 15.75 GiB HBM (round-3 measurement)
     remat: bool = True
+    # network compute dtype: 'bfloat16' runs the extractors, corr and
+    # update operator in bf16 (the TPU-native analog of the reference's
+    # autocast-half training, train_cdvo.py:109-117 / net_cdv.py:569-575)
+    # with f32 master params/grads; geometry, BA and the loss stay f32
+    compute_dtype: str = "float32"
 
 
 def n_visible(cfg: RolloutConfig, s: int) -> int:
@@ -99,7 +104,15 @@ def rollout_loss(params, model, cfg: RolloutConfig, images, gt_poses, gt_disps,
     E = F * F * M
     DIM = model.DIM
 
+    # bf16 network compute with f32 master params (casts are
+    # differentiable, so grads land on the f32 leaves)
+    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    cparams = params if cdt == jnp.float32 else jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
+
     images = images / 255.0 if cfg.is_cdv else 2.0 * (images / 255.0) - 0.5
+    images = images.astype(cdt)
     intr4 = intrinsics / 4.0
     intr_full = jnp.broadcast_to(intr4, (F, 4))
 
@@ -113,10 +126,10 @@ def rollout_loss(params, model, cfg: RolloutConfig, images, gt_poses, gt_disps,
     if cfg.is_cdv:
         fmap = _ckpt(
             lambda p, im: model.apply(p, im, method=type(model).features_f)
-        )(params, images)
+        )(cparams, images)
         tmap, *_ , score = _ckpt(
             lambda p, im: model.apply(p, im, method=type(model).features_i)
-        )(params, images)
+        )(cparams, images)
         hf, wf = fmap.shape[2], fmap.shape[3]
         hi, wi = tmap.shape[2], tmap.shape[3]
         key, k1 = jax.random.split(key)
@@ -131,7 +144,7 @@ def rollout_loss(params, model, cfg: RolloutConfig, images, gt_poses, gt_disps,
             coords = select_random_grid(k1, F, M, hi, wi, P, 4.0 / 14.0, True)
         from ..ops.patchify import patchify as patchify_op
         ictx = patchify_op(tmap, (4.0 / 14.0) * coords, 0, mode="upperleft")[..., 0, 0]
-        ictx = model.apply(params, ictx, method=type(model).adapt)
+        ictx = model.apply(cparams, ictx, method=type(model).adapt)
         gmap = patchify_op(fmap, coords, P // 2, mode="bilinear")
         from ..models.patchifier import coords_grid_with_index
         grid = coords_grid_with_index(gt_disps[None])[0]
@@ -139,21 +152,22 @@ def rollout_loss(params, model, cfg: RolloutConfig, images, gt_poses, gt_disps,
     else:
         fmap, imap = _ckpt(
             lambda p, im: model.apply(p, im, method=type(model).features)
-        )(params, images)
+        )(cparams, images)
         hf, wf = fmap.shape[2], fmap.shape[3]
         key, k1 = jax.random.split(key)
         from ..models.patchifier import select_random
         coords = select_random(k1, F, M, hf, wf)
         from ..models.patchifier import extract_patches
         gmap, ictx, _, patches_gt = extract_patches(
-            fmap, imap, images, gt_disps, coords, P
+            fmap, imap, images, gt_disps.astype(fmap.dtype), coords, P
         )
 
     fmap2 = jax.lax.reduce_window(
-        fmap.transpose(0, 2, 3, 1), 0.0, jax.lax.add, (1, 4, 4, 1), (1, 4, 4, 1), "VALID"
-    ).transpose(0, 3, 1, 2) / 16.0
+        fmap.transpose(0, 2, 3, 1).astype(jnp.float32), 0.0, jax.lax.add,
+        (1, 4, 4, 1), (1, 4, 4, 1), "VALID"
+    ).transpose(0, 3, 1, 2).astype(fmap.dtype) / 16.0
 
-    patches_gt = patches_gt.reshape(F * M, 3, P, P)
+    patches_gt = patches_gt.reshape(F * M, 3, P, P).astype(jnp.float32)
     gmap = gmap.reshape(F * M, -1, P, P)
     ictx = ictx.reshape(F * M, DIM)
 
@@ -173,7 +187,7 @@ def rollout_loss(params, model, cfg: RolloutConfig, images, gt_poses, gt_disps,
         p_shift = jnp.asarray([wf / 2, hf / 2])
         p_scale = max(wf / 2, hf / 2)
         p_n = (patches[None, :, :2, P // 2, P // 2] - p_shift[None, None]) / p_scale
-        posenc_all = model.apply(params, p_n, method=type(model).posenc)
+        posenc_all = model.apply(cparams, p_n.astype(cdt), method=type(model).posenc)
         posenc_edges = posenc_all[:, :, :, kk]   # (2,1,1,E,D/8)
     else:
         posenc_edges = None
@@ -187,7 +201,7 @@ def rollout_loss(params, model, cfg: RolloutConfig, images, gt_poses, gt_disps,
     if cfg.structure_only:
         Gs = gt_poses
 
-    net = jnp.zeros((E, DIM))
+    net = jnp.zeros((E, DIM), cdt)
     bounds = jnp.asarray([-64.0, -64.0, wf + 64.0, hf + 64.0])
 
     total_loss = 0.0
@@ -259,18 +273,19 @@ def rollout_loss(params, model, cfg: RolloutConfig, images, gt_poses, gt_disps,
             inp = jnp.take(ictx, kk, axis=0, mode="clip")[None]
             if cfg.is_cdv:
                 net_b, d, w = model.apply(
-                    params, net[None], inp, corrf, aux, F * M,
+                    cparams, net[None], inp, corrf, aux, F * M,
                     posenc=posenc_edges, method=type(model).update,
                 )
             else:
                 net_b, d, w = model.apply(
-                    params, net[None], inp, corrf, aux, F * M, F * F,
+                    cparams, net[None], inp, corrf, aux, F * M, F * F,
                     method=type(model).update,
                 )
             net = net_b[0]
 
-            target = coords[0, :, P // 2, P // 2, :] + d[0]
-            wgt = w[0] * active[:, None] * jnp.take(scores_all, kk, mode="clip")[:, None]
+            target = coords[0, :, P // 2, P // 2, :] + d[0].astype(jnp.float32)
+            wgt = (w[0].astype(jnp.float32) * active[:, None]
+                   * jnp.take(scores_all, kk, mode="clip")[:, None])
 
             Gs, patches = ba_solve(
                 Gs, patches, intr4, target, wgt, ii, jj, kk, active,

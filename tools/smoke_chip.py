@@ -114,11 +114,19 @@ def main():
         and np.isfinite(patches[: n * slam.M]).all()
         and np.abs(np.linalg.norm(poses[:n, 3:], axis=-1) - 1.0).max() < 1e-3
     )
+
+    # VALUE-level corr parity on the device (wrong-but-finite kernel
+    # output would pass the loop check above; this catches it)
+    pok, report = corr_parity()
+    for line in report:
+        print(line)
+    ok = ok and pok
+
     status = "PASS" if ok else "FAIL"
     print(
         f"smoke_chip {status}: backend={backend} frames={NFRAMES} n={n} "
         f"init={slam.is_initialized} finite_poses={np.isfinite(poses[:n]).all()} "
-        f"wall={dt:.1f}s"
+        f"corr_parity={pok} wall={dt:.1f}s"
     )
     return 0 if ok else 1
 
