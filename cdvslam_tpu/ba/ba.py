@@ -168,7 +168,8 @@ def build_edge_lattice(kk_local, mask, K, E_pad, L=None):
 
 
 @partial(jax.jit, static_argnames=("N", "K", "iterations", "params",
-                                   "structure_only", "use_bounds", "assembly"))
+                                   "structure_only", "use_bounds", "assembly",
+                                   "ba_abl"))
 def ba_solve(
     poses: jnp.ndarray,        # (NP, 7)
     patches: jnp.ndarray,      # (K, 3, P, P) window of patches
@@ -190,6 +191,16 @@ def ba_solve(
     bounds=None,               # (4,) array if use_bounds
     assembly: str = "scatter",  # 'scatter' | 'onehot' | 'lattice'
     lattice=None,              # (K, L) int32, required for 'lattice'
+    perm=None,                 # (G, GM) int32 (i,j)-group edge lists:
+                               # with 'lattice', replaces the pose-side
+                               # (N^2, 4E)/(N, 2E) one-hots by per-group
+                               # sums (every edge of a group shares one
+                               # (i, j) pair; sentinel E = zero row)
+    ba_abl: str = "",          # static: comma-separated internal knockouts
+                               # for perf budgeting (no_edgeterms /
+                               # no_assembly / no_solve / no_retr); passed
+                               # as an ARG because ba_solve's jit cache
+                               # would freeze an env read at first trace
 ):
     """Damped Gauss-Newton over window poses + patch inverse depths.
 
@@ -215,6 +226,12 @@ def ba_solve(
     dtype = poses.dtype
     E = ii.shape[0]
 
+    # internal knockouts for perf budgeting (like FUSE_ABL). Each fake
+    # keeps a data dependency on what it replaces so XLA cannot
+    # dead-code-eliminate the upstream phases.
+    _ba_abl = set(filter(None, ba_abl.split(",")))
+
+    grouped = assembly in ("onehot", "lattice") and perm is not None
     if assembly in ("onehot", "lattice"):
         # one-hot scatter matrices, built ONCE per solve (edge indices are
         # iteration-invariant) and reused by every GN iteration
@@ -228,23 +245,73 @@ def ba_solve(
             io = jax.lax.broadcasted_iota(jnp.int32, (n, ids.shape[0]), 0)
             return (io == ids[None, :]).astype(jnp.float32)
 
-        def bidh(a, b, va, vb):
-            return jnp.where(va & vb & mask,
-                             jnp.clip(a, 0, N - 1) * N + jnp.clip(b, 0, N - 1),
-                             N * N)
-
-        oh_b = onehot(
-            jnp.concatenate([bidh(ixh, ixh, vih, vih), bidh(jxh, jxh, vjh, vjh),
-                             bidh(ixh, jxh, vih, vjh), bidh(jxh, ixh, vjh, vih)]),
-            N * N)                                            # (N*N, 4E)
-        ix2 = jnp.concatenate(
-            [jnp.where(vih & mask, jnp.clip(ixh, 0, N - 1), N),
-             jnp.where(vjh & mask, jnp.clip(jxh, 0, N - 1), N)])
-        oh_v = onehot(ix2, N)                                 # (N, 2E)
-
         def ohsum(oh, vals):
             return jax.lax.dot_general(oh, vals, (((1,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32)
+
+        def bidh(a, b, va, vb):
+            return jnp.where(va & vb,
+                             jnp.clip(a, 0, N - 1) * N + jnp.clip(b, 0, N - 1),
+                             N * N)
+
+        if grouped:
+            # pose-side GROUP assembly: every edge of an (i,j) group
+            # shares one pose pair, so B/v are per-group sums (fixed
+            # -shape gathers over the group lists) scattered by a tiny
+            # (N^2+1, 4G) one-hot -- no (N*N, 4E)/(N, 2E) one-hot ever
+            # materializes (the round-3 HLO showed those as ~40 ops of
+            # 220 MB each). Sentinel edge E indexes an appended zero row,
+            # so dummy groups contribute nothing.
+            GN = perm.shape[0]
+            e_ext = jnp.concatenate([ii.astype(jnp.int32),
+                                     jnp.full((1,), -(10 ** 6), jnp.int32)])
+            j_ext = jnp.concatenate([jj.astype(jnp.int32),
+                                     jnp.full((1,), -(10 ** 6), jnp.int32)])
+            g0 = perm[:, 0]
+            gix = jnp.take(e_ext, g0, mode="clip") - t0       # (G,)
+            gjx = jnp.take(j_ext, g0, mode="clip") - t0
+            gvi = gix >= 0
+            gvj = gjx >= 0
+            oh_b = onehot(
+                jnp.concatenate([bidh(gix, gix, gvi, gvi),
+                                 bidh(gjx, gjx, gvj, gvj),
+                                 bidh(gix, gjx, gvi, gvj),
+                                 bidh(gjx, gix, gvj, gvi)]),
+                N * N)                                        # (N*N, 4G)
+            oh_v = onehot(
+                jnp.concatenate(
+                    [jnp.where(gvi, jnp.clip(gix, 0, N - 1), N),
+                     jnp.where(gvj, jnp.clip(gjx, 0, N - 1), N)]),
+                N)                                            # (N, 2G)
+
+            def gsum(vals):
+                """Per-group sum of per-edge rows: (E, d) -> (G, d)."""
+                ext = jnp.concatenate(
+                    [vals, jnp.zeros((1,) + vals.shape[1:], vals.dtype)])
+                return jnp.sum(jnp.take(ext, perm, axis=0, mode="clip"), 1)
+        else:
+            def bidh_m(a, b, va, vb):
+                return jnp.where(va & vb & mask,
+                                 jnp.clip(a, 0, N - 1) * N
+                                 + jnp.clip(b, 0, N - 1),
+                                 N * N)
+
+            oh_b = onehot(
+                jnp.concatenate([bidh_m(ixh, ixh, vih, vih),
+                                 bidh_m(jxh, jxh, vjh, vjh),
+                                 bidh_m(ixh, jxh, vih, vjh),
+                                 bidh_m(jxh, ixh, vjh, vih)]),
+                N * N)                                        # (N*N, 4E)
+            oh_v = onehot(jnp.concatenate(
+                [jnp.where(vih & mask, jnp.clip(ixh, 0, N - 1), N),
+                 jnp.where(vjh & mask, jnp.clip(jxh, 0, N - 1), N)]),
+                N)                                            # (N, 2E)
+
+    if assembly in ("onehot", "lattice"):
+        # per-edge local pose index pair (2E,), used by the onehot Emat
+        ix2 = jnp.concatenate(
+            [jnp.where(vih & mask, jnp.clip(ixh, 0, N - 1), N),
+             jnp.where(vjh & mask, jnp.clip(jxh, 0, N - 1), N)])
 
     if assembly == "onehot":
         oh_k = onehot(jnp.where(mask, kidh, K), K)            # (K, E)
@@ -278,9 +345,17 @@ def ba_solve(
     def one_iteration(carry, _):
         poses, patches = carry
 
-        r, Ji, Jj, Jz, (x1, y1, Z) = _edge_terms(
-            poses, patches, intrinsics, target, ii, jj, kk, params.z_min
-        )
+        if "no_edgeterms" in _ba_abl:
+            dep = poses[0, 0] + patches[0, 0, 0, 0]
+            r = jnp.zeros((E, 2), jnp.float32) + dep
+            Ji = jnp.zeros((E, 2, 6), jnp.float32) + dep
+            Jj = Ji
+            Jz = r
+            x1 = y1 = Z = r[:, 0] + 1.0
+        else:
+            r, Ji, Jj, Jz, (x1, y1, Z) = _edge_terms(
+                poses, patches, intrinsics, target, ii, jj, kk, params.z_min
+            )
         inb = _validity(r, x1, y1, Z, cx, cy, params, bounds if use_bounds else None)
         w = weight * (inb & mask)[:, None].astype(dtype)     # (E,2)
         r = jnp.where((inb & mask)[:, None], r, 0.0)
@@ -315,13 +390,20 @@ def ba_solve(
         vj_vec = jnp.einsum("er,eri->ei", w * r, Jj, preferred_element_type=jnp.float32)
 
         if assembly in ("onehot", "lattice"):
-            Bflat = ohsum(
-                oh_b,
-                jnp.concatenate([Bii, Bjj, Bij, jnp.swapaxes(Bij, 1, 2)],
-                                0).reshape(4 * E, 36),
-            ).reshape(N * N, 6, 6)
+            if grouped:
+                bvals = jnp.concatenate(
+                    [gsum(Bii.reshape(E, 36)), gsum(Bjj.reshape(E, 36)),
+                     gsum(Bij.reshape(E, 36)),
+                     gsum(jnp.swapaxes(Bij, 1, 2).reshape(E, 36))], 0)
+                vvals = jnp.concatenate([gsum(vi_vec), gsum(vj_vec)], 0)
+            else:
+                bvals = jnp.concatenate(
+                    [Bii, Bjj, Bij, jnp.swapaxes(Bij, 1, 2)],
+                    0).reshape(4 * E, 36)
+                vvals = jnp.concatenate([vi_vec, vj_vec], 0)
+            Bflat = ohsum(oh_b, bvals).reshape(N * N, 6, 6)
             B = Bflat.reshape(N, N, 6, 6).transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
-            v = ohsum(oh_v, jnp.concatenate([vi_vec, vj_vec], 0)).reshape(6 * N)
+            v = ohsum(oh_v, vvals).reshape(6 * N)
             if assembly == "lattice":
                 C = latsum(jnp.sum(w * Jz * Jz, -1))
                 u = latsum(jnp.sum(w * r * Jz, -1))
@@ -338,12 +420,19 @@ def ba_solve(
                 ])                                            # (N, K, 6)
             else:
                 eij = jnp.concatenate([ei, ej], 0)            # (2E, 6)
-                Emat = jnp.stack([
-                    ohsum(oh_k2, jnp.where((ix2 == n)[:, None], eij, 0.0))
-                    for n in range(N)
-                ])                                            # (N, K, 6)
-                C = ohsum(oh_k, (jnp.sum(w * Jz * Jz, -1))[:, None])[:, 0]
-                u = ohsum(oh_k, (jnp.sum(w * r * Jz, -1))[:, None])[:, 0]
+                # ONE (K, 2E) @ (2E, N*6) matmul instead of an N-loop of
+                # 6-lane matmuls: same FLOPs, 16x fewer op issues and
+                # 75% vs 5% MXU lane fill (round-5 budget: the BA's cost
+                # is issue latency, not HBM)
+                nsel = (ix2[:, None]
+                        == jnp.arange(N, dtype=jnp.int32)[None, :])
+                valsn = (nsel[..., None] * eij[:, None, :]
+                         ).reshape(2 * E, N * 6)              # (2E, N*6)
+                Emat = ohsum(oh_k2, valsn).reshape(K, N, 6).transpose(1, 0, 2)
+                # C/u in one 2-lane matmul
+                cu = ohsum(oh_k, jnp.stack(
+                    [jnp.sum(w * Jz * Jz, -1), jnp.sum(w * r * Jz, -1)], -1))
+                C, u = cu[:, 0], cu[:, 1]
         else:
             Bflat = jax.ops.segment_sum(
                 jnp.concatenate([Bii, Bjj, Bij, jnp.swapaxes(Bij, 1, 2)], 0),
@@ -377,9 +466,22 @@ def ba_solve(
                 num_segments=N + 1,
             )[:N].reshape(6 * N)
 
+        if "no_assembly" in _ba_abl:
+            dep = (jnp.sum(Bii[0]) + jnp.sum(ei[0]) + jnp.sum(vi_vec[0])
+                   + jnp.sum(w[0]) + r[0, 0])
+            B = jnp.eye(6 * N, dtype=jnp.float32) * (100.0 + 0.0 * dep)
+            v = jnp.zeros((6 * N,), jnp.float32) + 0.0 * dep
+            Emat = jnp.zeros((N, K, 6), jnp.float32) + 0.0 * dep
+            C = jnp.ones((K,), jnp.float32) + 0.0 * dep
+            u = jnp.zeros((K,), jnp.float32) + 0.0 * dep
+
         Q = 1.0 / (C + params.lmbda)                          # (K,)
 
-        if structure_only:
+        if "no_solve" in _ba_abl and not structure_only:
+            dep = jnp.sum(B[0]) + v[0] + jnp.sum(Emat[0, 0]) + u[0]
+            dX = jnp.zeros((N, 6), dtype) + 0.0 * dep.astype(dtype)
+            dZ = jnp.zeros((K,), dtype) + 0.0 * dep.astype(dtype)
+        elif structure_only:
             dZ = Q * u
             dX = jnp.zeros((N, 6), dtype)
         else:
@@ -397,6 +499,9 @@ def ba_solve(
             dX = dX_flat.reshape(N, 6)
 
         # --- retractions ---
+        if "no_retr" in _ba_abl:
+            poses = poses + 0.0 * (jnp.sum(dX) + dZ[0]).astype(dtype)
+            return (poses, patches), None
         if not structure_only:
             win = t0 + jnp.arange(N)
             valid_w = win < poses.shape[0]

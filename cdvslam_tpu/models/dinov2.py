@@ -57,9 +57,29 @@ class Attention(nn.Module):
         qkv = nn.Dense(3 * C, use_bias=True, name="qkv")(x)
         q, k, v = jnp.split(qkv.reshape(B, L, 3, h, d).transpose(2, 0, 3, 1, 4), 3, axis=0)
         q, k, v = q[0], k[0], v[0]                     # (B, h, L, d)
-        attn = jnp.einsum("bhld,bhmd->bhlm", q, k) * (d ** -0.5)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhlm,bhmd->bhld", attn, v)
+        import os as _os
+        if (jax.default_backend() in ("tpu", "axon") and L > 512
+                and _os.environ.get("DINO_FLASH", "1") == "1"):
+            # tiled flash attention: the full (h, L, L) logits never hit
+            # HBM (12 x 43 MB per frame in the einsum path -- the
+            # round-2 HLO audit's biggest non-corr waste). L is padded
+            # to the kernel's 512-token block quantum; pad tokens live
+            # in segment 0 (real tokens 1), so they are masked out, and
+            # the pad rows are sliced off the output.
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds, flash_attention)
+            Lp = -(-L // 512) * 512
+            pad = [(0, 0), (0, 0), (0, Lp - L), (0, 0)]
+            seg = (jnp.arange(Lp) < L).astype(jnp.int32)[None]  # (1, Lp)
+            seg = jnp.broadcast_to(seg, (B, Lp))
+            out = flash_attention(
+                jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad),
+                segment_ids=SegmentIds(q=seg, kv=seg),
+                sm_scale=d ** -0.5)[:, :, :L]
+        else:
+            attn = jnp.einsum("bhld,bhmd->bhlm", q, k) * (d ** -0.5)
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhlm,bhmd->bhld", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, C)
         return nn.Dense(C, use_bias=True, name="proj")(out)
 

@@ -9,8 +9,9 @@ to (2R+1)^2, output layout (B, E, Dx, Dy, P, P).
 Design (v9). Window extraction is reformulated as ONE-HOT GATHER
 MATMULS so the MXU does the gathering and the VPU only builds tiny 0/1
 selection matrices. Per CB-edge CHUNK (all P*P pixels of all CB edges
-together, per-edge tap columns (p, u) padded to PPD2=96 lanes --
-CB*PPD2 = 384 keeps lane-tile alignment with 25% less pad than 128):
+together, per-edge tap columns (p, u) at stride DU = D-1 = 7 padded to
+PPD2=64 lanes -- the blend-discarded 8th tap per pixel is never laid
+out (v10), and CB*PPD2 = 256 keeps lane-tile alignment):
 
     band  = frame[ty:ty+THB, :, txb:txb+TWB]      # (THB, C, TWB) slab
     G2[(y,c),(e,p,u)] = g[c,e,p] * [y == ry_ep + u]
@@ -75,7 +76,12 @@ THB = int(_os.environ.get("CORR_TH", str(YCELL + 10)))
 SUBTE = 8                                   # frame-run pad / refetch tile
 CB = int(_os.environ.get("CORR_CB", "4"))   # edges per shared-band chunk
 TWB = 128                                   # column band width (one lane tile)
-PPD2 = 96                                   # padded per-edge tap columns
+# v10: with the bilinear blend fused into the selection matrices, only
+# D-1 = 7 tap values per axis survive the final slice, so per-edge tap
+# columns are laid out with stride DU = D-1 = 7: PP*DU = 63 columns,
+# padded to 64 -- a 33% column cut vs the v9 stride-8 layout (96 cols)
+# that carried a discarded 8th tap per pixel through phases A/B/C
+PPD2 = int(_os.environ.get("CORR_PPD2", "64"))  # padded per-edge tap columns
 PPC = 16                                    # compact per-edge tap columns
 XE = 32                                     # edges per expansion chunk (Xexp size)
 CG = int(_os.environ.get("CORR_CG", "4"))   # phase-C cross-edge batch width
@@ -136,16 +142,22 @@ def _corr_kernel_v9(jjs_ref, tys_ref, txbs_ref, oky_ref, fbs_ref,  # prefetch
     """
     g = pl.program_id(0)
     cdt = fcache.dtype
+    DU = D - 1   # per-pixel tap-column stride (v10: 8th tap discarded)
 
-    # ---- phase 0: on-chip tap expansion (compact -> 96-col/edge) ----
-    # per XE_-edge chunk: ONE (C, XE_*16) @ (XE_*16, XE_*96) matmul for
-    # the features and one (4, ...) for the tap rows; +u offsets are a
+    # ---- phase 0: on-chip tap expansion (compact -> PPD2-col/edge) ----
+    # per XE_-edge chunk: ONE (C, XE_*16) @ (XE_*16, XE_*PPD2) matmul for
+    # the features and one (6, ...) for the tap rows; +u offsets are a
     # broadcast iota; chunk re-basing is two whole-tile adds
     cidx = jax.lax.broadcasted_iota(jnp.int32, (1, XE_ * PPD2), 1) % PPD2
     # columns whose (p', u) decodes past PPC rows get no expansion input
     # (matmul gives 0) -- poison them so the one-hot compares miss
-    upat = jnp.where(cidx // D < PPC, cidx % D, -10000).astype(jnp.float32)
-    for x in range(max(1, (TE * PPC) // (XE_ * PPC))):
+    upat = jnp.where(cidx // DU < PPC, cidx % DU, -10000).astype(jnp.float32)
+    if _os.environ.get("CORR_ABL") in ("no_0", "floor0"):
+        gef[...] = jnp.zeros((C, TE * PPD2), cdt)
+        rxy[...] = jnp.full((2, TE * PPD2), -9, jnp.int32)
+        fxy[...] = jnp.zeros((2, TE * PPD2), cdt)
+    else:
+      for x in range(max(1, (TE * PPC) // (XE_ * PPC))):
         ci, co = x * XE_ * PPC, x * XE_ * PPD2
         gef[:, co:co + XE_ * PPD2] = jax.lax.dot_general(
             gec_ref[0, :, ci:ci + XE_ * PPC], xexp_ref[...],
@@ -171,20 +183,19 @@ def _corr_kernel_v9(jjs_ref, tys_ref, txbs_ref, oky_ref, fbs_ref,  # prefetch
     yio = jax.lax.broadcasted_iota(jnp.int32, (THB_, 1), 0)
     wio = jax.lax.broadcasted_iota(jnp.int32, (TWB, 1), 0)  # (TWB, 1)
     # select/reduce constants: a column inside an edge's PPD2 block
-    # decodes as (p, u) = (local // D, local % D); the (edge, p) pair
-    # keys the block-diag mask (PPD2 % D != 0 for radius != 3, so a
-    # global idx // D would straddle edges)
-    vio = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1)
+    # decodes as (p, u) = (local // DU, local % DU); the (edge, p) pair
+    # keys the block-diag mask (PPD2 % DU != 0, so a global idx // DU
+    # would straddle edges)
     gpu = jax.lax.broadcasted_iota(jnp.int32, (CG * PPD2, 1), 0)
     gqv = jax.lax.broadcasted_iota(jnp.int32, (1, CG * PPD2), 1)
     blockdiag_g = ((gpu // PPD2 == gqv // PPD2)
-                   & ((gpu % PPD2) // D == (gqv % PPD2) // D))
+                   & ((gpu % PPD2) // DU == (gqv % PPD2) // DU))
     viod = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0)
-    sumq_gt = (((gqv % PPD2) % D) == viod).astype(cdt)      # (D, CG*PPD2)
+    sumq_gt = (((gqv % PPD2) % DU) == viod).astype(cdt)     # (D, CG*PPD2)
 
     # ---- phase A: build G2 for the WHOLE tile in one 4-op sequence ----
     # (gef/rxy columns are contiguous across edges, so nothing is per-edge)
-    if _os.environ.get("CORR_ABL") in ("no_a", "floor"):
+    if _os.environ.get("CORR_ABL") in ("no_a", "floor", "floor0"):
         g2s[...] = jnp.zeros((THB_ * C, TE * PPD2), cdt)
     else:
         grep = jax.lax.dot_general(
@@ -219,7 +230,7 @@ def _corr_kernel_v9(jjs_ref, tys_ref, txbs_ref, oky_ref, fbs_ref,  # prefetch
             tq = sub * (SUBTE // CB) + q
             ch = g * (TE // CB) + tq
             lo = tq * CB * PPD2
-            if _os.environ.get("CORR_ABL") in ("no_b", "floor"):
+            if _os.environ.get("CORR_ABL") in ("no_b", "floor", "floor0"):
                 ts[lo:lo + CB * PPD2] = jnp.zeros((CB * PPD2, TWB), cdt)
                 continue
             ty = tys_ref[ch]
@@ -239,7 +250,7 @@ def _corr_kernel_v9(jjs_ref, tys_ref, txbs_ref, oky_ref, fbs_ref,  # prefetch
     # the volume transposed, (D, CG*PPD2), for dense output tiles ------
     for cg in range(TE // CG):
         lo = cg * CG * PPD2
-        if _os.environ.get("CORR_ABL") in ("no_c", "floor"):
+        if _os.environ.get("CORR_ABL") in ("no_c", "floor", "floor0"):
             out_ref[0, :, lo:lo + CG * PPD2] = jnp.zeros(
                 (D, CG * PPD2), out_ref.dtype)
             continue
@@ -274,9 +285,9 @@ def _corr_kernel_v9(jjs_ref, tys_ref, txbs_ref, oky_ref, fbs_ref,  # prefetch
         puio = jax.lax.broadcasted_iota(jnp.int32, (CW, 1), 0)
         qvio = jax.lax.broadcasted_iota(jnp.int32, (1, CW), 1)
         blockdiag = ((puio // PPD2 == qvio // PPD2)
-                     & ((puio % PPD2) // D == (qvio % PPD2) // D))
+                     & ((puio % PPD2) // DU == (qvio % PPD2) // DU))
         viodf = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0)
-        sumq_t = (((qvio % PPD2) % D) == viodf).astype(cdt)  # (D, CW)
+        sumq_t = (((qvio % PPD2) % DU) == viodf).astype(cdt)  # (D, CW)
 
         def _slow_body(t, carry):
             ch = g * (TE // CB) + t
@@ -456,7 +467,8 @@ def _corr_pallas_planned(gmap, fpad, coords, ii, jj, order, jj_steps, inv,
     EP = E_pad_static
     Hp, Wc = padded_dims(H, W, radius)
     THB_ = min(THB, Hp)
-    assert PP * D <= PPD2, "patch tap columns exceed the padded tile"
+    DU = D - 1   # tap-column stride (v10: blend-discarded tap not laid out)
+    assert PP * DU <= PPD2, "patch tap columns exceed the padded tile"
     assert C % 8 == 0, "channels must tile the sublane axis"
 
     x = coords[:, 0].reshape(E, PP)
@@ -544,12 +556,13 @@ def _corr_pallas_planned(gmap, fpad, coords, ii, jj, order, jj_steps, inv,
     rxyc_s = rxyc_s.transpose(0, 2, 1, 3).reshape(nsteps, 6, TE * PPC)
 
     # block-diagonal expansion matrix (constant; fetched into VMEM once):
-    # Xexp[(e, p), (e', (p', u))] = [e == e'] * [p == p']
+    # Xexp[(e, p), (e', (p', u))] = [e == e'] * [p == p']; tap-column
+    # stride DU = D-1 (v10: the blend-discarded 8th tap is never laid out)
     XE_ = min(XE, TE)
     rio = jnp.arange(XE_ * PPC)[:, None]
     cio_x = jnp.arange(XE_ * PPD2)[None, :]
     xexp = ((rio // PPC == cio_x // PPD2)
-            & (rio % PPC == (cio_x % PPD2) // D)).astype(gmap.dtype)
+            & (rio % PPC == (cio_x % PPD2) // DU)).astype(gmap.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -595,12 +608,13 @@ def _corr_pallas_planned(gmap, fpad, coords, ii, jj, order, jj_steps, inv,
           gec_s, rxyc_s, xexp, fpad)
 
     vol_s = vol_s.transpose(0, 2, 1).reshape(EP, PPD2, D)
-    vol = jnp.take(vol_s[:, : PP * D], inv, axis=0)         # (E, PP*D, D)
-    vol = vol.reshape(E, PP, D, D)                          # (e, p, u, v)
+    vol = jnp.take(vol_s[:, : PP * DU], inv, axis=0)        # (E, PP*DU, D)
+    vol = vol.reshape(E, PP, DU, D)                         # (e, p, u=y, v=x)
     # the 4-tap bilinear blend (correlation_kernel.cu:221-232) is fused
     # into the kernel's selection matrices (2-tap interpolation rows in
-    # phases A/C); rows/cols D-1 carry the discarded half-taps
-    out = vol[:, :, : D - 1, : D - 1].astype(gmap.dtype)    # (E, PP, Dy-1, Dx-1)
+    # phases A/C); the y-tap axis is already DU = D-1 wide (v10 layout)
+    # and sublane row D-1 of the x-tap axis carries the discarded tap
+    out = vol[:, :, :, : D - 1].astype(gmap.dtype)          # (E, PP, Dy-1, Dx-1)
     out = out.reshape(E, P, P, D - 1, D - 1).transpose(0, 4, 3, 1, 2)
     return out[None]                                        # (1, E, Dx, Dy, P, P)
 

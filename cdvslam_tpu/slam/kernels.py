@@ -241,6 +241,10 @@ def update_body(
             assembly=ba_assembly if (ba_assembly != "lattice"
                                      or lattice is not None) else "onehot",
             lattice=lattice,
+            # (i,j)-group lists: pose-side B/v assemble as per-group sums
+            # instead of (N^2, 4E)/(N, 2E) one-hot matmuls (ba_solve)
+            perm=perm,
+            ba_abl=_os.environ.get("BA_ABL", ""),
         )
     else:
         poses = poses + target[0, 0] * 0

@@ -312,15 +312,18 @@ class SLAM:
             from ..models.patchifier import (
                 coords_grid_with_index, seg_binary_score)
             ht_, wd_ = self.ht, self.wd
-            # FUSE_ABL: trace-time phase ablations for perf budgeting
-            # (see kernels.update_body); frame-phase knobs live here
             import os as _os
-            _abl = set(filter(None, _os.environ.get("FUSE_ABL", "").split(",")))
 
             def frame_fn(params, image_u8, seed, poses, patches_buf, intr_buf,
                          imap_buf, gmap_buf, f1buf, f2buf, colors_buf,
                          seg_buf, scale_buf, score_buf, n, fac,
                          initialized, intr_row, fslot, pslot):
+                # FUSE_ABL: phase ablations for perf budgeting, read at
+                # TRACE time (inside the body, so an in-process re-jit --
+                # e.g. tools/bench_abl_sweep -- picks up env changes; a
+                # build-time read froze these to the warmup value)
+                _abl = set(filter(
+                    None, _os.environ.get("FUSE_ABL", "").split(",")))
                 key = jax.random.fold_in(jax.random.PRNGKey(7), seed)
                 # image arrives as a FLAT u8 upload (transport layout cost)
                 img = image_u8.reshape(ht_, wd_, 3).astype(jnp.float32)
@@ -329,7 +332,9 @@ class SLAM:
 
                 if is_cdv:
                     if "no_feat" in _abl:
-                        fmap = (jnp.zeros((1, 128, ht_ // 4, wd_ // 4), cdtype)
+                        # channel count from the gmap ring (24 for XFeat)
+                        fmap = (jnp.zeros((1, gmap_buf.shape[1],
+                                           ht_ // 4, wd_ // 4), cdtype)
                                 + image[0, 0, 0, 0])
                     else:
                         fmap = model.apply(params, image, method=CDVNet.features_f)
@@ -378,6 +383,12 @@ class SLAM:
                         coords = select_random(key, nb, M, hf, wf)
                     else:
                         coords = select_random_grid(key, nb, M, hi, wi, P, scale_f2i, upperleft)
+                    if "no_select" in _abl:
+                        # knockout: replace the (sorted) selection with
+                        # cheap random coords (score-head work upstream
+                        # of the selection may be DCE'd with it)
+                        coords = select_random(key, nb, M, hf, wf)
+                        score_row = jnp.ones((M,), jnp.float32)
                     ictx = patchify_op(tmap, scale_f2i * coords, 0,
                                        mode="upperleft" if upperleft else "bilinear")[..., 0, 0]
                     ictx = model.apply(params, ictx, method=CDVNet.adapt)
@@ -481,8 +492,12 @@ class SLAM:
                     slot = pad_fmap(f[None]).astype(buf.dtype)  # (1,Hp,C,2Wc)
                     return jax.lax.dynamic_update_slice(
                         buf, slot, (fslot, 0, 0, 0))
-                f1buf = _wr(f1buf, f1)
-                f2buf = _wr(f2buf, f2)
+                if "no_fmapwrites" not in _abl:
+                    # knockout: skip the pyramid pad + slot DUS entirely
+                    # (the buffers pass through untouched; the pyramid
+                    # pad is DCE'd with its only consumer)
+                    f1buf = _wr(f1buf, f1)
+                    f2buf = _wr(f2buf, f2)
                 colors_buf = colors_buf.at[n].set(clr[0].astype(colors_buf.dtype))
                 seg_buf = seg_buf.at[n].set(seg_row)
                 scale_buf = scale_buf.at[n].set(
@@ -583,8 +598,12 @@ class SLAM:
                 mm_i, mm_j,
                 NW=NW, KWIN=KWIN, EPAD=EPAD, GROUP_M=GROUP_M,
                 iterations=iterations, is_cdv=is_cdv, HW1=HW1, HW2=HW2,
-                ba_assembly=_os.environ.get(
-                    "BA_ASSEMBLY", "lattice" if LAT_L else "onehot"),
+                # default 'onehot': measured 2.6 ms faster in-program than
+                # 'lattice' on the chip (round-5 sweep) -- the depth-side
+                # lattice gather/where chains pay more serial latency than
+                # the (K,2E) one-hot matmuls cost in HBM; the pose side
+                # stays grouped (perm) either way
+                ba_assembly=_os.environ.get("BA_ASSEMBLY", "onehot"),
                 LAT_L=LAT_L)
             return (poses, patches_buf, intr_buf, imap_buf, gmap_buf, f1buf,
                     f2buf, colors_buf, seg_buf, scale_buf, score_buf,

@@ -207,3 +207,22 @@ def test_lattice_assembly_matches_scatter():
         np.testing.assert_allclose(np.asarray(d_l[:, 2, 1, 1]),
                                    np.asarray(d_s[:, 2, 1, 1]),
                                    rtol=2e-4, atol=2e-4)
+
+    # grouped pose-side assembly (perm): per-(i,j)-group sums replace the
+    # (N^2, 4E)/(N, 2E) one-hots; must still match scatter, including
+    # dummy rows (sentinel E_pad) and masked edges inside live groups
+    keys = ii2.astype(np.int64) * 100000 + jj2
+    uniq = np.unique(keys[:E])
+    GM = max(np.sum(keys[:E] == u) for u in uniq)
+    perm_rows = np.full((len(uniq) + 2, GM), E_pad, np.int64)  # +2 dummies
+    for g, u in enumerate(uniq):
+        idx = np.nonzero(keys[:E] == u)[0]
+        perm_rows[g, : len(idx)] = idx
+    p_g, d_g = ba_solve(*args, assembly="lattice",
+                        lattice=jnp.asarray(lat_prod),
+                        perm=jnp.asarray(perm_rows, jnp.int32), **kw)
+    np.testing.assert_allclose(np.asarray(p_g), np.asarray(p_s),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(d_g[:, 2, 1, 1]),
+                               np.asarray(d_s[:, 2, 1, 1]),
+                               rtol=2e-4, atol=2e-4)

@@ -9,6 +9,12 @@ TRACE time), and times a dependent chain -- one fused-program compile
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site \
            python tools/bench_abl_sweep.py [iters] [abl1 abl2 ...]
+
+Tokens of the form ``ENV:VAR=VAL[,VAR2=VAL2...]`` sweep trace-time env
+knobs instead of FUSE_ABL (e.g. ``ENV:BA_ASSEMBLY=onehot``): the knob is
+set, the fused program re-traced, timed, and the knob restored. Only
+works for knobs read at TRACE time (BA_ASSEMBLY); corr module constants
+(CORR_YC etc.) are import-time and need a fresh process.
 """
 import os
 import sys
@@ -75,7 +81,15 @@ def main():
 
     results = {}
     for abl in abls:
-        os.environ["FUSE_ABL"] = abl
+        envset = {}
+        if abl.startswith("ENV:"):
+            for kv in abl[4:].split(","):
+                k, _, v = kv.partition("=")
+                envset[k] = v
+            os.environ["FUSE_ABL"] = ""
+            os.environ.update(envset)
+        else:
+            os.environ["FUSE_ABL"] = abl
         fn = slam._build_fused()           # re-traces with the new env
         args = list(base_args)
         for i in state_in:
@@ -102,6 +116,8 @@ def main():
             print(f"FUSE_ABL={abl or '(none)':<16s} {dt:7.2f} ms/call")
         except Exception as e:  # noqa: BLE001
             print(f"FUSE_ABL={abl or '(none)':<16s} FAILED: {type(e).__name__}: {e}")
+        for k in envset:
+            os.environ.pop(k, None)
         sys.stdout.flush()
     os.environ.pop("FUSE_ABL", None)
 
