@@ -39,7 +39,10 @@ def main():
 
     optimizer, _ = make_optimizer()
     state = init_train_state(params, optimizer)
-    dense_cfg = RolloutConfig(F=F, M=M, STEPS=4, MIN_FRAME=4, is_cdv=True)
+    import os
+    dense_cfg = RolloutConfig(
+        F=F, M=M, STEPS=4, MIN_FRAME=4, is_cdv=True,
+        compute_dtype=os.environ.get("TRAIN_DTYPE", "float32"))
     step_dense = make_train_step(model, dense_cfg, optimizer, mesh=mesh)
 
     rng = np.random.RandomState(0)
